@@ -1,0 +1,181 @@
+"""Flow-matching DiT estimator (CosyVoice3 token2mel) in flax.linen.
+
+Behavioral reference: cosyvoice/flow/DiT/dit.py:104-176 and
+flow/DiT/modules.py (TimestepEmbedding :606, CausalConvPositionEmbedding
+:115, AdaLayerNormZero :230, DiTBlock :500, AttnProcessor :349).
+
+TPU-first notes:
+- single fused attention einsum per block; the CFG pair (cond/uncond) rides
+  the batch dimension so one jit specialization serves both.
+- the chunked streaming mask is precomputed once per sequence length
+  (static_chunk_size=50 mel frames), so streaming and offline share weights
+  and compile separately only per bucketed length.
+
+Checkpoint-parity quirk, kept deliberately: the reference applies
+x_transformers rotary embeddings to q/k *before* the head split with
+rot_dim = dim_head (dit.py:158, modules.py:368-373), so only the first
+`dim_head` channels — i.e. head 0 — are rotated, with interleaved (GPT-J
+style) pairing. Published flow.pt weights were trained with this, so we
+reproduce it exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DiTConfig
+from ..ops.convs import conv1d
+from ..ops.masks import mask_to_bias
+
+
+def sinus_position_embedding(t: jnp.ndarray, dim: int, scale: float = 1000.0) -> jnp.ndarray:
+    """modules.py:71-83. t: (B,) -> (B, dim)."""
+    half = dim // 2
+    emb = math.log(10000.0) / (half - 1)
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
+    ang = scale * t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    dim: int
+    freq_embed_dim: int = 256
+
+    @nn.compact
+    def __call__(self, t):
+        h = sinus_position_embedding(t, self.freq_embed_dim).astype(t.dtype)
+        h = nn.Dense(self.dim, name="mlp_0", dtype=t.dtype)(h)
+        h = nn.silu(h)
+        return nn.Dense(self.dim, name="mlp_2", dtype=t.dtype)(h)
+
+
+class CausalConvPositionEmbedding(nn.Module):
+    """modules.py:115-144: two left-padded grouped convs with Mish."""
+
+    dim: int
+    kernel_size: int = 31
+    groups: int = 16
+
+    @nn.compact
+    def __call__(self, x):  # (B, L, D)
+        pad = self.kernel_size - 1
+        for name in ("conv1", "conv2"):
+            k = self.param(
+                f"{name}_kernel",
+                nn.initializers.lecun_normal(),
+                (self.kernel_size, self.dim // self.groups, self.dim),
+            )
+            b = self.param(f"{name}_bias", nn.initializers.zeros, (self.dim,))
+            x = conv1d(x, k.astype(x.dtype), b.astype(x.dtype), padding=(pad, 0), groups=self.groups)
+            x = x * jnp.tanh(jax.nn.softplus(x))  # mish
+        return x
+
+
+def _rotary_freqs(seq_len: int, dim_head: int, theta: float = 10000.0) -> np.ndarray:
+    """x_transformers RotaryEmbedding.forward_from_seq_len: freqs (L, dim_head)
+    with interleaved duplication (n r) r=2."""
+    inv = 1.0 / (theta ** (np.arange(0, dim_head, 2, dtype=np.float64) / dim_head))
+    f = np.arange(seq_len, dtype=np.float64)[:, None] * inv[None, :]  # (L, dh/2)
+    return np.repeat(f, 2, axis=-1).astype(np.float32)  # interleaved
+
+
+def _apply_rotary_pre_split(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, L, inner); rotate only the first rot_dim channels, interleaved
+    pairing (x_transformers apply_rotary_pos_emb semantics)."""
+    rot_dim = cos.shape[-1]
+    t, unrot = x[..., :rot_dim], x[..., rot_dim:]
+    t2 = t.reshape(*t.shape[:-1], rot_dim // 2, 2)
+    rotated = jnp.stack([-t2[..., 1], t2[..., 0]], axis=-1).reshape(t.shape)
+    t = t * cos + rotated * sin
+    return jnp.concatenate([t, unrot], axis=-1)
+
+
+class DiTAttention(nn.Module):
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, attn_bias, cos, sin):
+        c = self.cfg
+        b, l, _ = x.shape
+        inner = c.heads * c.dim_head
+        q = nn.Dense(inner, name="to_q", dtype=x.dtype)(x)
+        k = nn.Dense(inner, name="to_k", dtype=x.dtype)(x)
+        v = nn.Dense(inner, name="to_v", dtype=x.dtype)(x)
+        q = _apply_rotary_pre_split(q, cos, sin)
+        k = _apply_rotary_pre_split(k, cos, sin)
+        q = q.reshape(b, l, c.heads, c.dim_head)
+        k = k.reshape(b, l, c.heads, c.dim_head)
+        v = v.reshape(b, l, c.heads, c.dim_head)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(c.dim_head)
+        scores = scores.astype(jnp.float32) + attn_bias[:, None]
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, l, inner)
+        return nn.Dense(c.dim, name="to_out", dtype=x.dtype)(out)
+
+
+class DiTBlock(nn.Module):
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, t_emb, attn_bias, cos, sin):
+        c = self.cfg
+        # AdaLN-Zero (modules.py:230-244)
+        mod = nn.Dense(c.dim * 6, name="attn_norm_linear", dtype=x.dtype)(nn.silu(t_emb))
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
+        norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="attn_norm")(x)
+        norm = norm * (1 + scale_msa[:, None]) + shift_msa[:, None]
+        x = x + gate_msa[:, None] * DiTAttention(c, name="attn")(norm, attn_bias, cos, sin)
+
+        ff_norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="ff_norm")(x)
+        ff_norm = ff_norm * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
+        h = nn.Dense(c.dim * c.ff_mult, name="ff_0", dtype=x.dtype)(ff_norm)
+        h = nn.gelu(h, approximate=True)
+        h = nn.Dense(c.dim, name="ff_2", dtype=x.dtype)(h)
+        x = x + gate_mlp[:, None] * h
+        return x
+
+
+class DiT(nn.Module):
+    """Velocity estimator. All tensors channels-last: x/mu/cond are
+    (B, L, mel); the public `__call__` mirrors the reference argument order
+    (dit.py:145) but in NLC."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, L, mel) noised input
+        mu: jnp.ndarray,  # (B, L, mu_dim) upsampled token features
+        t: jnp.ndarray,  # (B,) diffusion time
+        spks: jnp.ndarray,  # (B, spk_dim)
+        cond: jnp.ndarray,  # (B, L, mel) prompt-conditioning mel
+        attn_mask: jnp.ndarray,  # (B, L, L) bool
+    ) -> jnp.ndarray:
+        c = self.cfg
+        b, l, _ = x.shape
+        t_emb = TimestepEmbedding(c.dim, c.freq_embed_dim, name="time_embed")(t.astype(x.dtype))
+
+        spks_b = jnp.broadcast_to(spks[:, None, :], (b, l, spks.shape[-1])).astype(x.dtype)
+        h = jnp.concatenate([x, cond, mu, spks_b], axis=-1)
+        h = nn.Dense(c.dim, name="input_proj", dtype=x.dtype)(h)
+        h = CausalConvPositionEmbedding(c.dim, c.conv_pos_kernel, c.conv_pos_groups, name="conv_pos_embed")(h) + h
+
+        freqs = jnp.asarray(_rotary_freqs(l, c.dim_head))
+        cos, sin = jnp.cos(freqs).astype(x.dtype), jnp.sin(freqs).astype(x.dtype)
+        bias = mask_to_bias(attn_mask)
+
+        for i in range(c.depth):
+            h = DiTBlock(c, name=f"blocks_{i}")(h, t_emb, bias, cos, sin)
+
+        # AdaLayerNormZero_Final (modules.py:251-265)
+        mod = nn.Dense(c.dim * 2, name="norm_out_linear", dtype=x.dtype)(nn.silu(t_emb))
+        scale, shift = jnp.split(mod, 2, axis=-1)
+        h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="norm_out")(h)
+        h = h * (1 + scale)[:, None] + shift[:, None]
+        return nn.Dense(c.mel_dim, name="proj_out", dtype=x.dtype)(h)

@@ -1,0 +1,241 @@
+"""Token→mel conditional flow matching (CosyVoice3 `CausalMaskedDiffWithDiT`).
+
+Behavioral references:
+- flow module: cosyvoice/flow/flow.py:278-433
+- CFM solver:  cosyvoice/flow/flow_matching.py:21-227 (CausalConditionalCFM)
+- lookahead:   cosyvoice/transformer/upsample_encoder.py:66-103
+
+TPU-first notes:
+- the Euler solve is a `lax.scan` over the (static) 10 timesteps; the
+  classifier-free-guidance pair is batched (2B) through one DiT call so the
+  MXU sees one batch-2 matmul stream rather than two batch-1 streams.
+- `repeat_interleave(token_mel_ratio)` is a reshape-broadcast, free under XLA.
+- the reference's fixed seeded noise buffer (flow_matching.py:199-200,
+  torch.randn under seed 0) is reproduced via `fixed_cfm_noise()` so wavs are
+  bit-comparable with the PyTorch stack; it is generated once with torch on
+  the host (torch-cpu is a build-time tool here, never on the TPU hot path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FlowConfig
+from ..ops.convs import conv1d
+from ..ops.masks import chunk_attn_mask
+from .dit import DiT
+
+
+@functools.lru_cache(maxsize=1)
+def fixed_cfm_noise(mel_dim: int = 80, max_len: int = 15000) -> np.ndarray:
+    """The reference's deterministic streaming noise: torch.manual_seed(0);
+    torch.randn([1, 80, 50*300]) (flow_matching.py:199-200). Returned
+    channels-last (1, max_len, mel_dim)."""
+    try:
+        import torch
+
+        g = torch.Generator().manual_seed(0)
+        # replicate set_all_random_seed(0) → torch.manual_seed(0) default gen
+        torch.manual_seed(0)
+        noise = torch.randn([1, mel_dim, max_len])
+        return noise.numpy().transpose(0, 2, 1).copy()
+    except ImportError:  # torch-free deployment: fall back to jax PRNG
+        key = jax.random.PRNGKey(0)
+        return np.asarray(jax.random.normal(key, (1, max_len, mel_dim)))
+
+
+class PreLookaheadLayer(nn.Module):
+    """upsample_encoder.py:66-103: conv1 (k=pre_lookahead_len+1, right pad /
+    context), leaky_relu, conv2 (k=3, left pad 2), residual."""
+
+    in_channels: int = 80
+    channels: int = 1024
+    pre_lookahead_len: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray | None = None) -> jnp.ndarray:
+        """x: (B, L, C). context: optional (B, pre_lookahead_len, C) future
+        tokens (streaming non-finalize step)."""
+        k1 = self.param(
+            "conv1_kernel", nn.initializers.lecun_normal(), (self.pre_lookahead_len + 1, self.in_channels, self.channels)
+        )
+        b1 = self.param("conv1_bias", nn.initializers.zeros, (self.channels,))
+        k2 = self.param("conv2_kernel", nn.initializers.lecun_normal(), (3, self.channels, self.in_channels))
+        b2 = self.param("conv2_bias", nn.initializers.zeros, (self.in_channels,))
+
+        if context is None:
+            h = conv1d(x, k1.astype(x.dtype), b1.astype(x.dtype), padding=(0, self.pre_lookahead_len))
+        else:
+            h = jnp.concatenate([x, context], axis=1)
+            h = conv1d(h, k1.astype(x.dtype), b1.astype(x.dtype), padding=(0, self.pre_lookahead_len - context.shape[1]))
+        h = jax.nn.leaky_relu(h, negative_slope=0.01)
+        h = conv1d(h, k2.astype(x.dtype), b2.astype(x.dtype), padding=(2, 0))
+        return h + x
+
+
+def repeat_interleave_time(x: jnp.ndarray, ratio: int) -> jnp.ndarray:
+    """(B, L, C) -> (B, L*ratio, C), each frame repeated `ratio` times."""
+    b, l, c = x.shape
+    return jnp.broadcast_to(x[:, :, None, :], (b, l, ratio, c)).reshape(b, l * ratio, c)
+
+
+def cosine_t_span(n_timesteps: int) -> np.ndarray:
+    """1 - cos(linspace(0,1,n+1) * pi/2) (flow_matching.py:224-226)."""
+    t = np.linspace(0.0, 1.0, n_timesteps + 1)
+    return (1.0 - np.cos(t * 0.5 * np.pi)).astype(np.float32)
+
+
+class CausalMaskedDiffWithDiT(nn.Module):
+    cfg: FlowConfig
+
+    def setup(self):
+        c = self.cfg
+        self.input_embedding = nn.Embed(c.vocab_size, c.input_size, name="input_embedding")
+        self.spk_embed_affine_layer = nn.Dense(c.output_size, name="spk_embed_affine_layer")
+        self.pre_lookahead_layer = PreLookaheadLayer(c.input_size, c.pre_lookahead_channels, c.pre_lookahead_len)
+        self.estimator = DiT(c.dit, name="estimator")
+
+    def _embed_tokens(self, token: jnp.ndarray, token_len: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """token: (B, L) -> embedded (B, L, C) zeroed at padding; returns
+        (emb, valid_mask (B, L))."""
+        l = token.shape[1]
+        valid = (jnp.arange(l)[None, :] < token_len[:, None])
+        emb = self.input_embedding(jnp.clip(token, 0, None))
+        return emb * valid[..., None].astype(emb.dtype), valid
+
+    def _solve_euler(self, z, mu, spks, cond, mel_len, streaming: bool):
+        """CFG Euler solve. All args channels-last. Returns (B, L, mel)."""
+        c = self.cfg
+        b, l, d = z.shape
+        attn_mask = chunk_attn_mask(mel_len, l, c.dit.static_chunk_size if streaming else 0)
+
+        t_span = jnp.asarray(cosine_t_span(c.n_timesteps))
+        ts, dts = t_span[:-1], t_span[1:] - t_span[:-1]
+
+        zeros_like_mu = jnp.zeros_like(mu)
+        zeros_like_spk = jnp.zeros_like(spks)
+        zeros_like_cond = jnp.zeros_like(cond)
+        mu2 = jnp.concatenate([mu, zeros_like_mu], axis=0)
+        spks2 = jnp.concatenate([spks, zeros_like_spk], axis=0)
+        cond2 = jnp.concatenate([cond, zeros_like_cond], axis=0)
+        mask2 = jnp.concatenate([attn_mask, attn_mask], axis=0)
+        rate = c.inference_cfg_rate
+
+        # Unrolled Python loop over the (static, 10) timesteps: flax modules
+        # cannot be applied inside a lax.scan closure, and 10 unrolled DiT
+        # calls share one set of weights so XLA CSEs the constants. Each step
+        # runs the CFG pair as one 2B-batch DiT call.
+        x = z
+        for i in range(ts.shape[0]):
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.full((2 * b,), ts[i], x.dtype)
+            v = self.estimator(x2, mu2, t2, spks2, cond2, mask2)
+            v_cond, v_uncond = v[:b], v[b:]
+            dphi = (1.0 + rate) * v_cond - rate * v_uncond
+            x = x + dts[i] * dphi
+        return x
+
+    def inference(
+        self,
+        token: jnp.ndarray,  # (B, Lt) prompt+target speech tokens, concatenated
+        token_len: jnp.ndarray,  # (B,)
+        prompt_feat: jnp.ndarray,  # (B, Lp_mel, mel) prompt mel (Lp_mel = prompt_token_len * ratio)
+        prompt_feat_len: jnp.ndarray,  # (B,)
+        embedding: jnp.ndarray,  # (B, 192) speaker x-vector
+        streaming: bool = False,
+        finalize: bool = True,
+        noise: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """Returns generated mel (B, L_mel, mel); caller slices off the prompt
+        region [:prompt_feat_len] (flow.py:401)."""
+        c = self.cfg
+        emb = embedding / jnp.maximum(jnp.linalg.norm(embedding, axis=1, keepdims=True), 1e-12)
+        spks = self.spk_embed_affine_layer(emb)
+
+        token_emb, valid = self._embed_tokens(token, token_len)
+        if finalize:
+            h = self.pre_lookahead_layer(token_emb)
+        else:
+            h = self.pre_lookahead_layer(
+                token_emb[:, : -c.pre_lookahead_len], token_emb[:, -c.pre_lookahead_len :]
+            )
+            valid = valid[:, : -c.pre_lookahead_len]
+        h = repeat_interleave_time(h, c.token_mel_ratio)
+
+        b, l_mel, _ = h.shape
+        mel_len = jnp.sum(valid.astype(jnp.int32), axis=1) * c.token_mel_ratio
+
+        # conds: prompt mel then zeros (flow.py:388-390)
+        pf = prompt_feat.astype(h.dtype)
+        if pf.shape[1] < l_mel:
+            pf = jnp.pad(pf, ((0, 0), (0, l_mel - pf.shape[1]), (0, 0)))
+        else:
+            pf = pf[:, :l_mel]
+        pos = jnp.arange(l_mel)[None, :, None]
+        conds = jnp.where(pos < prompt_feat_len[:, None, None], pf, 0.0)
+
+        if noise is None:
+            noise = jnp.asarray(fixed_cfm_noise()[:, :l_mel, :], h.dtype)
+        z = jnp.broadcast_to(noise[:, :l_mel, :], (b, l_mel, c.output_size)).astype(h.dtype)
+
+        return self._solve_euler(z, h, spks, conds, mel_len, streaming)
+
+    def __call__(
+        self,
+        token: jnp.ndarray,  # (B, Lt)
+        token_len: jnp.ndarray,
+        feat: jnp.ndarray,  # (B, L_mel, mel) target mel
+        feat_len: jnp.ndarray,
+        embedding: jnp.ndarray,  # (B, 192)
+        rngs_key: jax.Array,
+        streaming: bool = False,
+    ):
+        """Training loss (flow.py:312-356 + flow_matching.py:155-193).
+
+        Returns (loss, aux). Host-side batching decides `streaming` (the
+        reference flips a coin per batch) and the prompt-conditioning mask.
+        """
+        c = self.cfg
+        k_t, k_z, k_cfg, k_cond, k_condlen = jax.random.split(rngs_key, 5)
+
+        emb = embedding / jnp.maximum(jnp.linalg.norm(embedding, axis=1, keepdims=True), 1e-12)
+        spks = self.spk_embed_affine_layer(emb)
+
+        token_emb, _ = self._embed_tokens(token, token_len)
+        h = self.pre_lookahead_layer(token_emb)
+        h = repeat_interleave_time(h, c.token_mel_ratio)
+
+        b, l_mel, d = feat.shape
+        h = h[:, :l_mel]
+        mel_valid = (jnp.arange(l_mel)[None, :] < feat_len[:, None])
+        mask = mel_valid[..., None].astype(feat.dtype)  # (B, L, 1)
+
+        # random prompt conditioning: 50% of rows keep a random prefix
+        use_cond = jax.random.bernoulli(k_cond, 0.5, (b,))
+        cond_len = (jax.random.uniform(k_condlen, (b,)) * 0.3 * feat_len.astype(jnp.float32)).astype(jnp.int32)
+        pos = jnp.arange(l_mel)[None, :]
+        cond_mask = (pos < cond_len[:, None]) & use_cond[:, None]
+        conds = feat * cond_mask[..., None].astype(feat.dtype)
+
+        # CFM loss
+        t = jax.random.uniform(k_t, (b, 1, 1), feat.dtype)
+        z = jax.random.normal(k_z, feat.shape, feat.dtype)
+        y = (1 - (1 - c.sigma_min) * t) * z + t * feat
+        u = feat - (1 - c.sigma_min) * z
+
+        # CFG dropout (flow_matching.py:185-189)
+        keep = (jax.random.uniform(k_cfg, (b,)) > c.training_cfg_rate).astype(feat.dtype)
+        mu = h * keep[:, None, None]
+        spks_d = spks * keep[:, None]
+        conds_d = conds * keep[:, None, None]
+
+        attn_mask = chunk_attn_mask(feat_len, l_mel, c.dit.static_chunk_size if streaming else 0)
+        pred = self.estimator(y, mu, t[:, 0, 0], spks_d, conds_d, attn_mask)
+        se = jnp.sum(((pred - u) * mask) ** 2)
+        loss = se / (jnp.sum(mask) * d)
+        return loss, {"loss_cfm": loss}

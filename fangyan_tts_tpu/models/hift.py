@@ -1,0 +1,300 @@
+"""Causal HiFT vocoder (NSF harmonic source + iSTFT synthesis) in flax.linen.
+
+Behavioral references:
+- CausalHiFTGenerator: cosyvoice/hifigan/generator.py:572-726
+- SineGen2/SourceModuleHnNSF: generator.py:192-375
+- CausalConvRNNF0Predictor: cosyvoice/hifigan/f0_predictor.py:61-108
+- ResBlock + Snake: generator.py:45-118, transformer/activation.py:32-84
+- Causal conv trio: transformer/convolution.py:150-258
+
+TPU-first notes:
+- everything channels-last; convs via lax.conv_general_dilated (ops/convs).
+- the iSTFT (n_fft 16, hop 4) is the vectorized overlap-add in ops/stft —
+  no FFT op, just two small matmuls + 4 strided adds.
+- weight_norm of the reference's convs is folded into plain kernels at
+  checkpoint conversion (inference path); GAN training uses the weight-norm
+  reparameterization in train/gan.py.
+- determinism: the reference draws its harmonic initial-phase and
+  unvoiced-noise buffers from torch's *global* RNG at module construction
+  (generator.py:223-226, 356 — state depends on yaml-load seed 1986 and
+  construction order). Here they are explicit constants generated from
+  dedicated torch.Generator seeds, and the checkpoint converter can override
+  them with buffers captured from a live reference model for bit-exactness.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HiFTConfig
+from ..ops.convs import (
+    causal_conv1d_left,
+    causal_conv1d_right,
+    conv1d,
+    downsample_linear,
+    upsample_nearest,
+)
+from ..ops.stft import hann_window, istft, stft
+
+
+@functools.lru_cache(maxsize=1)
+def nsf_buffers(harmonics_plus_one: int = 9, max_samples: int = 300 * 24000):
+    """Deterministic NSF noise buffers: (rand_ini (1, H), uniform_noise
+    (1, max_samples, H), uv_noise (1, max_samples, 1)). Uniform [0,1) like
+    torch.rand. Generated with numpy PCG64(0) — reproducible without torch."""
+    rng = np.random.default_rng(0)
+    rand_ini = rng.random((1, harmonics_plus_one), dtype=np.float32)
+    rand_ini[:, 0] = 0.0
+    uniform_noise = rng.random((1, max_samples, harmonics_plus_one), dtype=np.float32)
+    uv_noise = rng.random((1, max_samples, 1), dtype=np.float32)
+    return rand_ini, uniform_noise, uv_noise
+
+
+def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """x + (1/(a+1e-9)) sin^2(ax); alpha per-channel (activation.py:73-84)."""
+    a = alpha[None, None, :]
+    s = jnp.sin(x * a)
+    return x + s * s / (a + 1e-9)
+
+
+class CausalConv(nn.Module):
+    """CausalConv1d equivalent; side='left'|'right' (convolution.py:150-188)."""
+
+    in_ch: int
+    out_ch: int
+    kernel: int
+    dilation: int = 1
+    side: str = "left"
+
+    @nn.compact
+    def __call__(self, x, context: jnp.ndarray | None = None):
+        k = self.param("kernel", nn.initializers.lecun_normal(), (self.kernel, self.in_ch, self.out_ch))
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        k = k.astype(x.dtype)
+        b = b.astype(x.dtype)
+        if self.side == "left":
+            return causal_conv1d_left(x, k, b, dilation=self.dilation)
+        return causal_conv1d_right(x, k, b, dilation=self.dilation, context=context)
+
+    @staticmethod
+    def causal_padding(kernel: int, dilation: int = 1) -> int:
+        return (kernel * dilation - dilation) // 2 * 2 + (kernel + 1) % 2
+
+
+class CausalConvDown(nn.Module):
+    """CausalConv1dDownSample: stride-s conv, left-pad stride-1 zeros
+    (convolution.py:190-221)."""
+
+    in_ch: int
+    out_ch: int
+    kernel: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", nn.initializers.lecun_normal(), (self.kernel, self.in_ch, self.out_ch))
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        return conv1d(x, k.astype(x.dtype), b.astype(x.dtype), stride=self.stride, padding=(self.stride - 1, 0))
+
+
+class CausalConvUp(nn.Module):
+    """CausalConv1dUpsample: nearest ×stride then left-padded conv
+    (convolution.py:224-258)."""
+
+    in_ch: int
+    out_ch: int
+    kernel: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", nn.initializers.lecun_normal(), (self.kernel, self.in_ch, self.out_ch))
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        x = upsample_nearest(x, self.stride)
+        return conv1d(x, k.astype(x.dtype), b.astype(x.dtype), padding=(self.kernel - 1, 0))
+
+
+class ResBlock(nn.Module):
+    """HiFiGAN/BigVGAN residual block, causal variant (generator.py:45-118)."""
+
+    channels: int
+    kernel: int
+    dilations: tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, x):
+        for di, d in enumerate(self.dilations):
+            a1 = self.param(f"alpha1_{di}", nn.initializers.ones, (self.channels,))
+            a2 = self.param(f"alpha2_{di}", nn.initializers.ones, (self.channels,))
+            xt = snake(x, a1.astype(x.dtype))
+            xt = CausalConv(self.channels, self.channels, self.kernel, dilation=d, side="left", name=f"convs1_{di}")(xt)
+            xt = snake(xt, a2.astype(x.dtype))
+            xt = CausalConv(self.channels, self.channels, self.kernel, dilation=1, side="left", name=f"convs2_{di}")(xt)
+            x = xt + x
+        return x
+
+
+class CausalF0Predictor(nn.Module):
+    """CausalConvRNNF0Predictor (f0_predictor.py:61-108): right-causal k=4
+    conv then 4 left-causal k=3 convs with ELU, linear head, abs."""
+
+    in_channels: int = 80
+    cond_channels: int = 512
+
+    @nn.compact
+    def __call__(self, x, context: jnp.ndarray | None = None):
+        """x: (B, L, 80) mel. context: optional future mel for streaming."""
+        h = CausalConv(self.in_channels, self.cond_channels, 4, side="right", name="conv0")(x, context)
+        h = nn.elu(h)
+        for i in range(1, 5):
+            h = CausalConv(self.cond_channels, self.cond_channels, 3, side="left", name=f"conv{i}")(h)
+            h = nn.elu(h)
+        f0 = nn.Dense(1, name="classifier", dtype=h.dtype)(h)
+        return jnp.abs(f0[..., 0])  # (B, L)
+
+
+class SourceModule(nn.Module):
+    """SourceModuleHnNSF with SineGen2 (causal=True) — generator.py:192-375.
+
+    Input f0 is at frame rate; upsampling to sample rate happens here
+    (f0_upsamp nearest ×480 is fused into the phase computation: SineGen2
+    downsamples rad back to frame rate before the cumsum, and nearest-
+    upsamples the phase — so we compute phase directly at frame rate).
+    """
+
+    cfg: HiFTConfig
+
+    @nn.compact
+    def __call__(self, f0_frame: jnp.ndarray) -> jnp.ndarray:
+        """f0_frame: (B, L) f0 per mel frame -> source (B, L*480, 1)."""
+        c = self.cfg
+        hplus = c.nb_harmonics + 1
+        up = c.total_upsample  # 480
+        b, l = f0_frame.shape
+
+        harmonic_mult = jnp.arange(1, hplus + 1, dtype=jnp.float32)
+        fn = f0_frame[..., None] * harmonic_mult  # (B, L, H)
+
+        # The reference upsamples f0 to sample rate (nearest ×480), takes
+        # rad = (fn/sr) % 1, adds rand_ini to the first sample, linearly
+        # downsamples rad by 1/480, cumsums, multiplies by 480 and nearest-
+        # upsamples the phase (generator.py:239-258). For nearest-upsampled
+        # input, linear downsample at torch's sampling offsets reproduces the
+        # frame-rate values except for boundary interpolation; we follow the
+        # same sequence of ops on an explicitly upsampled grid for parity.
+        rad = jnp.mod(fn / c.sampling_rate, 1.0)  # (B, L, H)
+        rad_up = upsample_nearest(rad, up)  # (B, L*480, H)
+        rand_ini, uniform_noise, uv_noise = nsf_buffers(hplus)
+        rad_up = rad_up.at[:, 0, :].add(jnp.asarray(rand_ini[0]))
+        rad_down = downsample_linear(rad_up, up)  # (B, L, H)
+        phase = jnp.cumsum(rad_down, axis=1) * 2.0 * np.pi
+        phase_up = upsample_nearest(phase * up, up)  # (B, L*480, H) 'nearest' causal mode
+        sines = jnp.sin(phase_up)
+
+        f0_up = upsample_nearest(f0_frame[..., None], up)  # (B, L*480, 1)
+        uv = (f0_up > c.nsf_voiced_threshold).astype(sines.dtype)
+        noise_amp = uv * c.nsf_sigma + (1.0 - uv) * c.nsf_alpha / 3.0
+        n_samp = sines.shape[1]
+        noise = noise_amp * jnp.asarray(uniform_noise[:, :n_samp], sines.dtype)
+        sine_waves = sines * c.nsf_alpha * uv + noise
+
+        merged = nn.Dense(1, name="l_linear", dtype=sines.dtype)(sine_waves)
+        return jnp.tanh(merged)  # (B, L*480, 1)
+
+
+class CausalHiFT(nn.Module):
+    cfg: HiFTConfig
+
+    def setup(self):
+        c = self.cfg
+        self.f0_predictor = CausalF0Predictor(c.in_channels, c.f0_cond_channels)
+        self.m_source = SourceModule(c)
+        self.conv_pre = CausalConv(c.in_channels, c.base_channels, c.conv_pre_look_right + 1, side="right")
+
+        ups, source_downs, source_res, res = [], [], [], []
+        down_rates = [1] + list(c.upsample_rates[::-1][:-1])
+        down_cum = list(np.cumprod(down_rates))[::-1]
+        nfft2 = c.istft_n_fft + 2
+        for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
+            ch_in = c.base_channels // (2**i)
+            ch_out = c.base_channels // (2 ** (i + 1))
+            ups.append(CausalConvUp(ch_in, ch_out, k, u, name=f"ups_{i}"))
+            du = down_cum[i]
+            if du == 1:
+                source_downs.append(CausalConv(nfft2, ch_out, 1, side="left", name=f"source_downs_{i}"))
+            else:
+                source_downs.append(CausalConvDown(nfft2, ch_out, int(du) * 2, int(du), name=f"source_downs_{i}"))
+            source_res.append(
+                ResBlock(ch_out, c.source_resblock_kernel_sizes[i], c.source_resblock_dilation_sizes[i], name=f"source_resblocks_{i}")
+            )
+            for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)):
+                res.append(ResBlock(ch_out, rk, rd, name=f"resblocks_{i}_{j}"))
+        self.ups = ups
+        self.source_downs = source_downs
+        self.source_resblocks = source_res
+        self.resblocks = res
+        self.conv_post = CausalConv(c.base_channels // (2 ** len(c.upsample_rates)), nfft2, 7, side="left")
+
+    def decode(self, mel: jnp.ndarray, source: jnp.ndarray, finalize: bool = True) -> jnp.ndarray:
+        """mel: (B, L, 80); source: (B, L*480, 1) -> audio (B, L*480)."""
+        c = self.cfg
+        win = jnp.asarray(hann_window(c.istft_n_fft))
+        s_real, s_imag = stft(source[..., 0], c.istft_n_fft, c.istft_hop_len, win, center=True)
+        if not finalize:
+            trim = int(np.prod(c.upsample_rates)) * c.conv_pre_look_right
+            s_real = s_real[:, :, :-trim]
+            s_imag = s_imag[:, :, :-trim]
+            x = self.conv_pre(mel[:, : -c.conv_pre_look_right], mel[:, -c.conv_pre_look_right :])
+        else:
+            x = self.conv_pre(mel)
+        s_stft = jnp.concatenate([s_real, s_imag], axis=1).transpose(0, 2, 1)  # (B, F, 18)
+
+        num_kernels = len(c.resblock_kernel_sizes)
+        for i in range(len(c.upsample_rates)):
+            x = jax.nn.leaky_relu(x, negative_slope=c.lrelu_slope)
+            x = self.ups[i](x)
+            if i == len(c.upsample_rates) - 1:
+                x = jnp.concatenate([x[:, 1:2], x], axis=1)  # ReflectionPad1d((1,0))
+            si = self.source_downs[i](s_stft)
+            si = self.source_resblocks[i](si)
+            x = x + si
+            xs = None
+            for j in range(num_kernels):
+                r = self.resblocks[i * num_kernels + j](x)
+                xs = r if xs is None else xs + r
+            x = xs / num_kernels
+
+        x = jax.nn.leaky_relu(x, negative_slope=0.01)
+        x = self.conv_post(x)  # (B, F, 18)
+        nbins = c.istft_n_fft // 2 + 1
+        log_mag = x[..., :nbins].transpose(0, 2, 1)
+        phase = jnp.sin(x[..., nbins:]).transpose(0, 2, 1)
+        magnitude = jnp.clip(jnp.exp(log_mag), max=1e2)
+        real = magnitude * jnp.cos(phase)
+        imag = magnitude * jnp.sin(phase)
+        audio = istft(real, imag, c.istft_n_fft, c.istft_hop_len, win)
+        if not finalize:
+            audio = audio[:, : -int(np.prod(c.upsample_rates)) * c.istft_hop_len]
+        return jnp.clip(audio, -c.audio_limit, c.audio_limit)
+
+    def __call__(self, mel: jnp.ndarray, finalize: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """mel: (B, L, 80) -> (audio (B, ~L*480), source). Matches
+        CausalHiFTGenerator.inference (generator.py:713-726)."""
+        c = self.cfg
+        mel32 = mel.astype(jnp.float32)  # f32: precision-critical (generator.py:715)
+        if finalize:
+            f0 = self.f0_predictor(mel32)
+            s = self.m_source(f0).astype(mel.dtype)  # (B, L*480, 1)
+            return self.decode(mel, s, finalize=True), s
+        # streaming step: the f0 predictor's right-lookahead conv consumes the
+        # last 3 mel frames as context; decode sees the trimmed mel
+        # (generator.py:713-726).
+        pad = CausalConv.causal_padding(4)  # = 3
+        f0 = self.f0_predictor(mel32[:, :-pad], context=mel32[:, -pad:])
+        s = self.m_source(f0).astype(mel.dtype)
+        return self.decode(mel[:, :-pad], s, finalize=False), s

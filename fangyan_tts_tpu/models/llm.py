@@ -1,0 +1,201 @@
+"""CosyVoice3 AR speech-token LM on the JAX Qwen2 backbone.
+
+Behavioral reference: cosyvoice/llm/llm.py:628-748 (CosyVoice3LM) with the
+shared machinery of Qwen2LM (llm.py:261-625).
+
+TPU-first design:
+- Training sequences (unistream / 5:15 bistream interleave with instruct
+  prefix, llm.py:304-351) are built **on host** as integer "plans"
+  (source-select + id + target arrays, padded to bucket lengths); the device
+  does two embedding gathers and a select — no ragged ops in the graph.
+  See `fangyan_tts_tpu.data.lm_plan`.
+- AR decode is one `lax.while_loop` over a preallocated KV cache: RAS
+  sampling, stop-token handling and min/max-length logic all live on device,
+  so a whole batch of utterances decodes in a single device call instead of
+  the reference's per-token Python loop (llm.py:511-525).
+- Prompts are **left-padded** so every row's valid KV slots are contiguous
+  and the decode write index is uniform across the batch (one
+  dynamic_update_slice per step, no per-row scatter).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import LLMConfig
+from ..ops.sampling import ras_sample
+from . import qwen2 as q
+
+IGNORE_ID = -1
+
+
+class CosyVoice3LM(nn.Module):
+    cfg: LLMConfig
+
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = nn.Embed(c.qwen.vocab_size, c.qwen.hidden_size, name="embed_tokens")
+        self.speech_embedding = nn.Embed(c.head_size, c.llm_input_size, name="speech_embedding")
+        self.llm = q.Qwen2Model(c.qwen, name="llm")
+        self.llm_decoder = nn.Dense(c.head_size, use_bias=False, name="llm_decoder")
+
+    def embed_plan(self, src: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+        """(B, L) src∈{0:text,1:speech/special} + ids -> (B, L, D)."""
+        text_e = self.embed_tokens(jnp.clip(ids, 0, self.cfg.qwen.vocab_size - 1))
+        speech_e = self.speech_embedding(jnp.clip(ids, 0, self.cfg.head_size - 1))
+        return jnp.where((src == 1)[..., None], speech_e, text_e)
+
+    def __call__(self, src: jnp.ndarray, ids: jnp.ndarray, lengths: jnp.ndarray, targets: jnp.ndarray):
+        """Training forward (right-padded plans). Returns (loss, acc) with
+        label-smoothed CE over valid target positions (llm.py:706-711)."""
+        c = self.cfg
+        x = self.embed_plan(src, ids)
+        b, t, _ = x.shape
+        positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
+        bias = q.prefill_attn_bias(t, lengths)
+        h, _ = self.llm(x, positions, bias)
+        logits = self.llm_decoder(h)
+        return label_smoothed_ce(logits, targets, c.lsm_weight, c.length_normalized_loss)
+
+    # ---- decode-path pieces (called through .bind in generate_speech_tokens)
+
+    def prefill_leftpad(self, src, ids, lengths, cache):
+        """Left-padded prompt prefill. src/ids: (B, Tp); lengths: (B,).
+
+        Row b's valid tokens occupy slots [Tp - len_b, Tp). Returns
+        (last_hidden (B, D) — slot Tp-1 is always the last real token —
+        and the filled cache)."""
+        b, tp = ids.shape
+        x = self.embed_plan(src, ids)
+        start = (tp - lengths).astype(jnp.int32)  # (B,) first valid slot
+        slot = jnp.arange(tp, dtype=jnp.int32)[None, :]
+        positions = jnp.maximum(slot - start[:, None], 0)
+        kq = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+        causal = kk <= kq  # (Tp, Tp)
+        key_valid = slot >= start[:, None]  # (B, Tp)
+        bias = jnp.where(causal[None] & key_valid[:, None, :], 0.0, -1e10).astype(jnp.float32)
+        max_len = cache[0]["k"].shape[1]
+        bias = jnp.concatenate([bias, jnp.full((b, tp, max_len - tp), -1e10, jnp.float32)], axis=-1)
+        h, cache = self.llm(x, positions, bias, cache)
+        return h[:, -1], cache
+
+    def decode_step(self, token: jnp.ndarray, positions: jnp.ndarray, start: jnp.ndarray, end: jnp.ndarray, cache):
+        """One AR step. token: (B,) speech-token ids; positions: (B, 1) rope
+        positions; start: (B,) first valid cache slot; end: scalar slot bound
+        (exclusive, uniform). Returns (logits (B, V), cache)."""
+        emb = self.speech_embedding(token)[:, None, :]
+        max_len = cache[0]["k"].shape[1]
+        slot = jnp.arange(max_len, dtype=jnp.int32)[None, None, :]
+        bias = jnp.where((slot >= start[:, None, None]) & (slot < end), 0.0, -1e10).astype(jnp.float32)
+        h, cache = self.llm(emb.astype(cache[0]["k"].dtype), positions, bias, cache)
+        return self.llm_decoder(h[:, 0]), cache
+
+
+def label_smoothed_ce(logits: jnp.ndarray, targets: jnp.ndarray, smoothing: float, normalize_length: bool):
+    """LabelSmoothingLoss equivalent (transformer/label_smoothing_loss.py):
+    smoothed NLL summed over valid tokens, normalized by token count (or
+    batch size when normalize_length=False)."""
+    v = logits.shape[-1]
+    mask = targets != IGNORE_ID
+    tgt = jnp.where(mask, targets, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    conf = 1.0 - smoothing
+    nll = -conf * picked
+    if smoothing > 0.0:
+        low = smoothing / (v - 1)
+        nll = nll - low * (jnp.sum(logp, axis=-1) - picked)
+    nll = jnp.where(mask, nll, 0.0)
+    denom = jnp.maximum(jnp.sum(mask), 1) if normalize_length else logits.shape[0]
+    loss = jnp.sum(nll) / denom
+    pred = jnp.argmax(logits, axis=-1)
+    acc = jnp.sum((pred == targets) & mask) / jnp.maximum(jnp.sum(mask), 1)
+    return loss, acc
+
+
+class DecodeResult(NamedTuple):
+    tokens: Any  # (B, max_new) int32; positions >= num_tokens are 0
+    num_tokens: Any  # (B,) int32
+
+
+@partial(jax.jit, static_argnames=("model", "max_new_tokens", "cache_len"))
+def generate_speech_tokens(
+    model: CosyVoice3LM,
+    params: Any,
+    src: jnp.ndarray,  # (B, Tp) left-padded plan source selector
+    ids: jnp.ndarray,  # (B, Tp) left-padded plan ids
+    prompt_lens: jnp.ndarray,  # (B,)
+    min_lens: jnp.ndarray,  # (B,) min new tokens before a stop id is allowed
+    max_lens: jnp.ndarray,  # (B,) max new tokens (<= max_new_tokens)
+    key: jax.Array,
+    max_new_tokens: int,
+    cache_len: int,
+) -> DecodeResult:
+    """Whole-batch AR decode in one device call.
+
+    Matches Qwen2LM.inference_wrapper's HF path (llm.py:511-525): RAS
+    sampling, stop ids (>= speech_token_size) suppressed while i < min_len,
+    stop on any stop id or at max_len.
+    """
+    c: LLMConfig = model.cfg
+    b, tp = ids.shape
+    bound = model.bind({"params": params})
+
+    cache = q.init_cache(c.qwen, b, cache_len, dtype=jnp.bfloat16)
+    last_h, cache = bound.prefill_leftpad(src, ids, prompt_lens, cache)
+    first_logits = bound.llm_decoder(last_h)
+
+    stop_start = c.speech_token_size
+    vocab = c.head_size
+    win = c.win_size
+    start_slots = (tp - prompt_lens).astype(jnp.int32)
+
+    def sample(logits, i, recent, key):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ignore_eos = i < min_lens  # (B,)
+        non_stop = jnp.arange(vocab)[None, :] < stop_start
+        allowed = non_stop | ~ignore_eos[:, None]
+        keys = jax.random.split(key, b + 1)
+        toks = jax.vmap(
+            lambda k_, lp, rec, al: ras_sample(
+                k_, lp, rec, rec >= 0, al,
+                top_p=c.top_p, top_k=c.top_k, win_size=win, tau_r=c.tau_r,
+            )
+        )(keys[1:], logp, recent, allowed)
+        return toks, keys[0]
+
+    tokens0 = jnp.zeros((b, max_new_tokens), jnp.int32)
+    recent0 = jnp.full((b, win), -1, jnp.int32)
+    done0 = jnp.zeros((b,), bool)
+    counts0 = jnp.zeros((b,), jnp.int32)
+
+    def body(carry):
+        i, tokens, recent, done, counts, cache, logits, key = carry
+        tok, key = sample(logits, i, recent, key)
+        is_stop = tok >= stop_start
+        emit = (~done) & (~is_stop) & (i < max_lens)
+        tok_clean = jnp.where(emit, tok, 0)
+        tokens = jax.lax.dynamic_update_slice(tokens, tok_clean[:, None], (0, i))
+        counts = counts + emit.astype(jnp.int32)
+        recent = jnp.where(
+            emit[:, None], jnp.concatenate([recent[:, 1:], tok_clean[:, None]], axis=1), recent
+        )
+        done = done | is_stop | (i + 1 >= max_lens)
+
+        positions = (prompt_lens.astype(jnp.int32) + i)[:, None]
+        logits, cache = bound.decode_step(tok_clean, positions, start_slots, tp + i + 1, cache)
+        return (i + 1, tokens, recent, done, counts, cache, logits, key)
+
+    def cond(carry):
+        i, _, _, done, *_ = carry
+        return (i < max_new_tokens) & (~jnp.all(done))
+
+    carry = (jnp.asarray(0, jnp.int32), tokens0, recent0, done0, counts0, cache, first_logits, key)
+    _, tokens, _, _, counts, _, _, _ = jax.lax.while_loop(cond, body, carry)
+    return DecodeResult(tokens=tokens, num_tokens=counts)

@@ -1,0 +1,185 @@
+"""Qwen2-style decoder backbone in JAX/flax.linen.
+
+Replaces the reference's HF `Qwen2ForCausalLM` wrapper
+(cosyvoice/llm/llm.py:230-258) with a TPU-first implementation:
+
+- channels-last everywhere, bf16-friendly matmuls with fp32 accumulation
+- grouped-query attention via one fused einsum over (heads, kv_groups)
+- preallocated ring KV cache so AR decode jits once (static shapes) and
+  runs under `lax.scan`/`while_loop`
+- tensor-parallel friendly: parameter shapes are plain (in, out) kernels so
+  pjit sharding rules in `fangyan_tts_tpu.parallel` can annotate them.
+
+Numerics match HF `transformers` Qwen2 (same RMSNorm eps placement, NeoX
+half-rotation RoPE, qkv biases) — verified in tests/test_qwen2_parity.py
+against the CPU torch implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import QwenConfig
+
+
+class RMSNorm(nn.Module):
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("weight", nn.initializers.ones, (self.dim,))
+        dtype = x.dtype
+        x = x.astype(jnp.float32)
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(var + self.eps)
+        return (x * scale).astype(dtype)
+
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float, dtype=jnp.float32):
+    """positions: (B, T) -> cos/sin of shape (B, T, head_dim).
+
+    NeoX convention (HF Qwen2): freqs over half the dims, duplicated —
+    rotate_half splits [x1, x2] at the midpoint.
+    """
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq[None, None, :]  # (B, T, hd/2)
+    ang = jnp.concatenate([ang, ang], axis=-1)
+    return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, T, H, hd); cos/sin: (B, T, hd). Half-rotation (NeoX/HF style)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos[:, :, None, :] + rotated * sin[:, :, None, :]
+
+
+class Qwen2Attention(nn.Module):
+    cfg: QwenConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, attn_bias, cache: Optional[dict] = None):
+        c = self.cfg
+        b, t, _ = x.shape
+        hd = c.head_dim
+        q = nn.Dense(c.num_attention_heads * hd, use_bias=True, name="q_proj", dtype=x.dtype)(x)
+        k = nn.Dense(c.num_key_value_heads * hd, use_bias=True, name="k_proj", dtype=x.dtype)(x)
+        v = nn.Dense(c.num_key_value_heads * hd, use_bias=True, name="v_proj", dtype=x.dtype)(x)
+        q = q.reshape(b, t, c.num_attention_heads, hd)
+        k = k.reshape(b, t, c.num_key_value_heads, hd)
+        v = v.reshape(b, t, c.num_key_value_heads, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if cache is not None:
+            # write new k/v at cache['index'], attend over the whole buffer
+            idx = cache["index"]
+            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0))
+            cache = {"k": ck, "v": cv, "index": idx + t}
+            k, v = ck.astype(x.dtype), cv.astype(x.dtype)
+
+        groups = c.num_attention_heads // c.num_key_value_heads
+        tk = k.shape[1]
+        qg = q.reshape(b, t, c.num_key_value_heads, groups, hd)
+        # scores: (B, kvh, groups, Tq, Tk)
+        scores = jnp.einsum("btkgh,bskh->bkgts", qg, k) / jnp.sqrt(hd).astype(x.dtype)
+        scores = scores.astype(jnp.float32) + attn_bias[:, None, None, :, :tk]
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bkgts,bskh->btkgh", probs, v)
+        out = out.reshape(b, t, c.num_attention_heads * hd)
+        out = nn.Dense(c.hidden_size, use_bias=False, name="o_proj", dtype=x.dtype)(out)
+        return out, cache
+
+
+class Qwen2MLP(nn.Module):
+    cfg: QwenConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        gate = nn.Dense(c.intermediate_size, use_bias=False, name="gate_proj", dtype=x.dtype)(x)
+        up = nn.Dense(c.intermediate_size, use_bias=False, name="up_proj", dtype=x.dtype)(x)
+        return nn.Dense(c.hidden_size, use_bias=False, name="down_proj", dtype=x.dtype)(nn.silu(gate) * up)
+
+
+class Qwen2Block(nn.Module):
+    cfg: QwenConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, attn_bias, cache=None):
+        c = self.cfg
+        h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="input_layernorm")(x)
+        attn_out, cache = Qwen2Attention(c, name="self_attn")(h, cos, sin, attn_bias, cache)
+        x = x + attn_out
+        h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="post_attention_layernorm")(x)
+        x = x + Qwen2MLP(c, name="mlp")(h)
+        return x, cache
+
+
+class Qwen2Model(nn.Module):
+    """The decoder stack operating on input embeddings (no token embedding —
+    the speech LM mixes text/speech/special embeddings upstream, matching
+    Qwen2Encoder's inputs_embeds usage at llm.py:235-244)."""
+
+    cfg: QwenConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs_embeds: jnp.ndarray,  # (B, T, D)
+        positions: jnp.ndarray,  # (B, T) int32 absolute positions
+        attn_bias: jnp.ndarray,  # (B, T, Tkv_max) additive fp32 bias
+        cache: Optional[list] = None,  # per-layer {'k','v','index'} or None
+    ):
+        c = self.cfg
+        cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta, dtype=inputs_embeds.dtype)
+        x = inputs_embeds
+        new_cache = [] if cache is not None else None
+        for i in range(c.num_hidden_layers):
+            layer_cache = cache[i] if cache is not None else None
+            x, layer_cache = Qwen2Block(c, name=f"layers_{i}")(x, cos, sin, attn_bias, layer_cache)
+            if new_cache is not None:
+                new_cache.append(layer_cache)
+        x = RMSNorm(c.hidden_size, c.rms_norm_eps, name="norm")(x)
+        return x, new_cache
+
+
+def init_cache(cfg: QwenConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> list:
+    """Preallocated per-layer KV cache pytree (static shapes for jit)."""
+    return [
+        {
+            "k": jnp.zeros((batch, max_len, cfg.num_key_value_heads, cfg.head_dim), dtype),
+            "v": jnp.zeros((batch, max_len, cfg.num_key_value_heads, cfg.head_dim), dtype),
+            "index": jnp.asarray(0, jnp.int32),
+        }
+        for _ in range(cfg.num_hidden_layers)
+    ]
+
+
+def causal_attn_bias(t: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(1, T, T) additive causal bias."""
+    q = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    return jnp.where(k <= q, 0.0, -1e10).astype(dtype)[None]
+
+
+def prefill_attn_bias(t: int, lengths: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """(B, T, T) causal + right-padding bias for variable-length prefill."""
+    causal = causal_attn_bias(t, dtype)  # (1, T, T)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+    pad = jnp.where(pos < lengths[:, None], 0.0, -1e10).astype(dtype)  # (B, T)
+    return causal + pad[:, None, :]
+
+
+def decode_attn_bias(kv_len: int, valid_len: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """(B, 1, kv_len) bias for single-token decode over a ring cache:
+    attend to cache slots < valid_len."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kv_len), 2)
+    return jnp.where(pos < valid_len[:, None, None], 0.0, -1e10).astype(dtype)

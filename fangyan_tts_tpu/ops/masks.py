@@ -1,0 +1,70 @@
+"""Padding and chunked-causal attention masks, fully vectorized for XLA.
+
+Behavioral reference: cosyvoice/utils/mask.py:127-265 (make_pad_mask,
+subsequent_chunk_mask, add_optional_chunk_mask). Implemented with
+broadcasted iota so masks trace to static shapes under jit (TPU needs
+static shapes; no Python loops over sequence length).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def make_pad_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """True where padded. lengths: (B,) int; returns (B, max_len) bool."""
+    pos = lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
+    return pos >= lengths.astype(jnp.int32)[:, None]
+
+
+def make_non_pad_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """True where valid (non-padded)."""
+    return ~make_pad_mask(lengths, max_len)
+
+
+def subsequent_chunk_mask(size: int, chunk_size: int) -> jnp.ndarray:
+    """(size, size) bool: position i attends to positions < ceil-block of i.
+
+    Matches cosyvoice/utils/mask.py:156-159: full left context, causality at
+    chunk granularity (attend up to the end of your own chunk).
+    """
+    pos = lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    block_end = (lax.broadcasted_iota(jnp.int32, (size, size), 0) // chunk_size + 1) * chunk_size
+    return pos < block_end
+
+
+def chunk_attn_mask(
+    lengths: jnp.ndarray,
+    max_len: int,
+    chunk_size: int,
+) -> jnp.ndarray:
+    """(B, max_len, max_len) bool combining padding + static chunk causality.
+
+    Equivalent to add_optional_chunk_mask(..., static_chunk_size=chunk_size,
+    num_decoding_left_chunks=-1) (cosyvoice/utils/mask.py:224-230): the DiT's
+    streaming mask — unlimited left context, chunk-causal right boundary.
+    With chunk_size <= 0, returns the full (non-causal) padding mask,
+    equivalent to the non-streaming branch (dit.py:166).
+    """
+    pad = make_non_pad_mask(lengths, max_len)[:, None, :]  # (B, 1, L) keys valid
+    if chunk_size and chunk_size > 0:
+        chunk = subsequent_chunk_mask(max_len, chunk_size)[None]  # (1, L, L)
+        return pad & chunk
+    return jnp.broadcast_to(pad, (pad.shape[0], max_len, max_len))
+
+
+def causal_mask(size: int) -> jnp.ndarray:
+    """(size, size) lower-triangular bool mask."""
+    q = lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    k = lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    return k <= q
+
+
+def mask_to_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """bool mask -> additive attention bias (0 where allowed, -1e10 where not).
+
+    Mirrors cosyvoice/utils/common.py:mask_to_bias (finite large-negative
+    instead of -inf, which keeps softmax NaN-free on fully-masked rows).
+    """
+    return (1.0 - mask.astype(dtype)) * jnp.asarray(-1.0e10, dtype)
