@@ -36,6 +36,7 @@ IGNORE_ID = -1
 
 class CosyVoice3LM(nn.Module):
     cfg: LLMConfig
+    dtype: Any = jnp.float32  # compute dtype (bf16 for training/serving)
 
     def setup(self):
         c = self.cfg
@@ -48,7 +49,7 @@ class CosyVoice3LM(nn.Module):
         """(B, L) src∈{0:text,1:speech/special} + ids -> (B, L, D)."""
         text_e = self.embed_tokens(jnp.clip(ids, 0, self.cfg.qwen.vocab_size - 1))
         speech_e = self.speech_embedding(jnp.clip(ids, 0, self.cfg.head_size - 1))
-        return jnp.where((src == 1)[..., None], speech_e, text_e)
+        return jnp.where((src == 1)[..., None], speech_e, text_e).astype(self.dtype)
 
     def __call__(self, src: jnp.ndarray, ids: jnp.ndarray, lengths: jnp.ndarray, targets: jnp.ndarray):
         """Training forward (right-padded plans). Returns (loss, acc) with

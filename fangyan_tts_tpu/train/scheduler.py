@@ -1,0 +1,98 @@
+"""LR schedules as optax schedules.
+
+Behavioral reference: cosyvoice/utils/scheduler.py:27-738 (WarmupLR,
+NoamHoldAnnealing, ConstantLR, CosineAnnealing...). Resume-by-step is free
+here: optax schedules are pure functions of the step counter, which is
+restored from the checkpoint (the reference needs explicit
+`scheduler.set_step`, bin/train.py:151-153).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+
+def warmup_lr(lr: float, warmup_steps: int = 25000) -> optax.Schedule:
+    """WarmupLR (scheduler.py:27-76): lr * w^0.5 * min(step^-0.5, step*w^-1.5)."""
+
+    def sched(step):
+        s = jnp.maximum(step.astype(jnp.float32), 1.0)
+        w = float(warmup_steps)
+        return lr * w**0.5 * jnp.minimum(s**-0.5, s * w**-1.5)
+
+    return sched
+
+
+def constant_lr(lr: float, **_) -> optax.Schedule:
+    def sched(step):
+        return jnp.asarray(lr, jnp.float32)
+
+    return sched
+
+
+def noam_hold_annealing(
+    lr: float,
+    warmup_steps: int = 25000,
+    hold_steps: int = 25000,
+    decay_rate: float = 0.5,
+    min_lr: float = 1e-5,
+) -> optax.Schedule:
+    """NoamHoldAnnealing (scheduler.py) — warmup, hold, polynomial decay."""
+
+    def sched(step):
+        s = jnp.maximum(step.astype(jnp.float32), 1.0)
+        w, h = float(warmup_steps), float(hold_steps)
+        warm = s / w
+        decay = ((w + h) / s) ** decay_rate
+        val = lr * jnp.where(s <= w, warm, jnp.where(s <= w + h, 1.0, decay))
+        return jnp.maximum(val, min_lr)
+
+    return sched
+
+
+def cosine_annealing(lr: float, total_steps: int, warmup_steps: int = 0, min_lr: float = 0.0) -> optax.Schedule:
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0 if warmup_steps else lr,
+        peak_value=lr,
+        warmup_steps=max(warmup_steps, 1),
+        decay_steps=max(total_steps, warmup_steps + 1),
+        end_value=min_lr,
+    )
+
+
+SCHEDULERS = {
+    "warmuplr": warmup_lr,
+    "constantlr": constant_lr,
+    "NoamHoldAnnealing": noam_hold_annealing,
+    "noamhold": noam_hold_annealing,
+    "cosine": cosine_annealing,
+}
+
+
+def build_optimizer(
+    optim: str = "adam",
+    lr: float = 1e-5,
+    scheduler: str = "constantlr",
+    scheduler_conf: dict | None = None,
+    grad_clip: float = 5.0,
+    accum_grad: int = 1,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """Mirror train_utils.init_optimizer_and_scheduler (train_utils.py:111-184):
+    adam/adamw × scheduler, global-norm clip, gradient accumulation.
+
+    Inf/NaN-grad steps are skipped via optax.apply_if_finite, replacing the
+    reference's manual grad-norm isinf check (train_utils.py:305-315)."""
+    sched = SCHEDULERS[scheduler](lr, **(scheduler_conf or {}))
+    if optim == "adam":
+        core = optax.adam(sched)
+    elif optim == "adamw":
+        core = optax.adamw(sched, weight_decay=weight_decay)
+    else:
+        raise ValueError(f"unknown optimizer {optim}")
+    tx = optax.chain(optax.clip_by_global_norm(grad_clip), core)
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    if accum_grad > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_grad)
+    return tx
