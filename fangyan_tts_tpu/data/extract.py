@@ -1,0 +1,152 @@
+"""Batched TPU feature extraction: speaker embeddings (stage 1) and speech
+tokens (stage 2).
+
+Replaces tools/extract_embedding.py and tools/extract_speech_token.py, whose
+throughput is limited by one-utterance-at-a-time ONNX sessions behind a GPU
+semaphore (extract_embedding.py:97, extract_speech_token.py:80-94). Here
+utterances are bucketed by length, padded, and swept through one jitted
+program per bucket — hundreds of utterances per device call.
+
+Outputs keep the reference's artifact formats: utt2embedding.pt /
+spk2embedding.pt / utt2speech_token.pt (torch.save dicts), so downstream
+parquet packing and training recipes are drop-in compatible.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from pathlib import Path
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.mel import kaldi_fbank, whisper_logmel
+from .audio import load_audio
+from .kaldi_io import read_scp
+
+_BUCKETS_SEC = (2, 4, 6, 8, 10, 15, 20, 30)
+
+
+def _bucket_len(n: int, sr: int) -> int:
+    for b in _BUCKETS_SEC:
+        if n <= b * sr:
+            return b * sr
+    return _BUCKETS_SEC[-1] * sr
+
+
+def _batched_buckets(utts: list[tuple[str, np.ndarray]], sr: int, batch_size: int):
+    """Group (utt, audio) by padded bucket length, yield padded batches."""
+    buckets: dict[int, list[tuple[str, np.ndarray]]] = defaultdict(list)
+    for utt, audio in utts:
+        audio = audio[: _BUCKETS_SEC[-1] * sr]  # 30 s guard (extract_speech_token.py:36)
+        buckets[_bucket_len(len(audio), sr)].append((utt, audio))
+    for blen, items in sorted(buckets.items()):
+        for i in range(0, len(items), batch_size):
+            chunk = items[i : i + batch_size]
+            pad = np.zeros((len(chunk), blen), np.float32)
+            lens = np.zeros((len(chunk),), np.int32)
+            names = []
+            for j, (utt, audio) in enumerate(chunk):
+                pad[j, : len(audio)] = audio
+                lens[j] = len(audio)
+                names.append(utt)
+            yield names, pad, lens
+
+
+def load_utts(wav_scp: dict[str, str], target_sr: int = 16000, progress: bool = True) -> list[tuple[str, np.ndarray]]:
+    out = []
+    t0 = time.time()
+    for i, (utt, path) in enumerate(wav_scp.items()):
+        try:
+            audio, _ = load_audio(path, target_sr=target_sr)
+            out.append((utt, audio))
+        except Exception as e:  # noqa: BLE001
+            print(f"  ⚠️ failed to load {utt}: {e}")
+        if progress and (i + 1) % 500 == 0:
+            print(f"  loaded {i + 1}/{len(wav_scp)} ({(i + 1) / (time.time() - t0):.1f}/s)")
+    return out
+
+
+def extract_embeddings(
+    data_dir: str | Path,
+    apply_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    batch_size: int = 64,
+) -> dict[str, np.ndarray]:
+    """Stage 1: wav.scp -> utt2embedding.pt + spk2embedding.pt.
+
+    apply_fn(fbank (B,T,80), frame_len (B,)) -> (B, 192) — a jitted closure
+    over CAMPPlus params (see infer/frontend.py:make_campplus_fn).
+    """
+    data_dir = Path(data_dir)
+    wav_scp = read_scp(data_dir / "wav.scp")
+    utt2spk = read_scp(data_dir / "utt2spk")
+    utts = load_utts(wav_scp)
+
+    utt2emb: dict[str, np.ndarray] = {}
+    for names, pad, lens in _batched_buckets(utts, 16000, batch_size):
+        feats = kaldi_fbank(jnp.asarray(pad))  # (B, F, 80)
+        frame_len = jnp.maximum((lens - 400) // 160 + 1, 1)
+        # masked mean-subtraction over valid frames (extract_embedding.py:33)
+        mask = (jnp.arange(feats.shape[1])[None, :] < frame_len[:, None])[..., None]
+        mean = jnp.sum(feats * mask, axis=1, keepdims=True) / jnp.maximum(frame_len, 1)[:, None, None]
+        feats = (feats - mean) * mask
+        embs = np.asarray(apply_fn(feats, frame_len))
+        for utt, e in zip(names, embs):
+            utt2emb[utt] = e.astype(np.float32)
+
+    spk_lists: dict[str, list[np.ndarray]] = defaultdict(list)
+    for utt, emb in utt2emb.items():
+        spk_lists[utt2spk.get(utt, "unk")].append(emb)
+    spk2emb = {spk: np.mean(np.stack(v), axis=0) for spk, v in spk_lists.items()}
+
+    _torch_save({k: _to_torch(v) for k, v in utt2emb.items()}, data_dir / "utt2embedding.pt")
+    _torch_save({k: _to_torch(v) for k, v in spk2emb.items()}, data_dir / "spk2embedding.pt")
+    return utt2emb
+
+
+def extract_speech_tokens(
+    data_dir: str | Path,
+    apply_fn: Callable[[jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]],
+    batch_size: int = 32,
+) -> dict[str, np.ndarray]:
+    """Stage 2: wav.scp -> utt2speech_token.pt.
+
+    apply_fn(mel (B,128,T), mel_len (B,)) -> (codes (B,T'), code_len (B,)) —
+    a jitted closure over S3TokenizerV3 params."""
+    data_dir = Path(data_dir)
+    wav_scp = read_scp(data_dir / "wav.scp")
+    utts = load_utts(wav_scp)
+
+    utt2tok: dict[str, np.ndarray] = {}
+    for names, pad, lens in _batched_buckets(utts, 16000, batch_size):
+        mel = whisper_logmel(jnp.asarray(pad))  # (B, 128, T)
+        mel_len = lens // 160
+        codes, code_len = apply_fn(mel, jnp.asarray(mel_len))
+        codes = np.asarray(codes)
+        code_len = np.asarray(code_len)
+        for i, utt in enumerate(names):
+            utt2tok[utt] = codes[i, : code_len[i]].astype(np.int32)
+
+    _torch_save({k: _to_torch(v) for k, v in utt2tok.items()}, data_dir / "utt2speech_token.pt")
+    return utt2tok
+
+
+def _to_torch(arr: np.ndarray):
+    try:
+        import torch
+
+        return torch.from_numpy(np.ascontiguousarray(arr))
+    except ImportError:
+        return arr
+
+
+def _torch_save(obj, path) -> None:
+    try:
+        import torch
+
+        torch.save(obj, str(path))
+    except ImportError:
+        np.save(str(path) + ".npy", obj, allow_pickle=True)

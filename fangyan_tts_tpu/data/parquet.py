@@ -1,0 +1,115 @@
+"""Parquet corpus packing (stage 3) — layout-compatible with
+tools/make_parquet_list.py:26-136.
+
+Each shard `parquet_%09d.tar` (the .tar name is the reference's quirk; the
+content is parquet) holds columns: utt, wav, audio_data (raw container
+bytes), text, spk, utt_embedding, spk_embedding, speech_token
+[+instruct] [+reject_speech_token]. Sidecars utt2parquet/spk2parquet json
+maps and data.list / utt2data.list / spk2data.list indices.
+
+Single-core host: uses a thread pool for file reads (IO-bound) instead of
+the reference's process pool.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_pt(path: str | Path) -> dict:
+    import torch
+
+    return torch.load(str(path), map_location="cpu", weights_only=False)
+
+
+def _as_list(x):
+    if hasattr(x, "numpy"):
+        x = x.numpy()
+    return np.asarray(x).tolist()
+
+
+def pack_shard(
+    utt_list: list[str],
+    maps: dict,
+    parquet_file: str,
+    utt2parquet_file: str,
+    spk2parquet_file: str,
+    instruct: bool = False,
+    dpo: bool = False,
+) -> float:
+    import pandas as pd
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        data_list = list(ex.map(lambda u: open(maps["utt2wav"][u], "rb").read(), utt_list))
+    df = pd.DataFrame()
+    df["utt"] = utt_list
+    df["wav"] = [maps["utt2wav"][u] for u in utt_list]
+    df["audio_data"] = data_list
+    df["text"] = [maps["utt2text"][u] for u in utt_list]
+    df["spk"] = [maps["utt2spk"][u] for u in utt_list]
+    df["utt_embedding"] = [_as_list(maps["utt2embedding"][u]) for u in utt_list]
+    df["spk_embedding"] = [_as_list(maps["spk2embedding"][maps["utt2spk"][u]]) for u in utt_list]
+    df["speech_token"] = [_as_list(maps["utt2speech_token"].get(u, [])) for u in utt_list]
+    if dpo:
+        df["reject_speech_token"] = [_as_list(maps["utt2reject_speech_token"][u]) for u in utt_list]
+    if instruct:
+        df["instruct"] = [maps["utt2instruct"][u] for u in utt_list]
+    df.to_parquet(parquet_file)
+    with open(utt2parquet_file, "w", encoding="utf-8") as f:
+        json.dump({u: parquet_file for u in utt_list}, f, ensure_ascii=False, indent=2)
+    with open(spk2parquet_file, "w", encoding="utf-8") as f:
+        json.dump({s: parquet_file for s in set(df["spk"])}, f, ensure_ascii=False, indent=2)
+    return time.time() - t0
+
+
+def make_parquet_list(
+    src_dir: str | Path,
+    des_dir: str | Path,
+    num_utts_per_parquet: int = 1000,
+    instruct: bool = False,
+    dpo: bool = False,
+) -> list[str]:
+    """Full stage-3: read Kaldi dir + .pt artifacts, write shards + lists."""
+    from .kaldi_io import read_scp
+
+    src, des = Path(src_dir), Path(des_dir)
+    des.mkdir(parents=True, exist_ok=True)
+    maps = {
+        "utt2wav": read_scp(src / "wav.scp"),
+        "utt2text": read_scp(src / "text"),
+        "utt2spk": read_scp(src / "utt2spk"),
+        "utt2embedding": _load_pt(src / "utt2embedding.pt"),
+        "spk2embedding": _load_pt(src / "spk2embedding.pt"),
+        "utt2speech_token": _load_pt(src / "utt2speech_token.pt"),
+    }
+    if instruct:
+        maps["utt2instruct"] = read_scp(src / "instruct")
+    if dpo:
+        maps["utt2reject_speech_token"] = _load_pt(str(src) + "_reject/utt2speech_token.pt")
+
+    utts = list(maps["utt2wav"].keys())
+    parquet_list, utt2parquet_list, spk2parquet_list = [], [], []
+    for i, j in enumerate(range(0, len(utts), num_utts_per_parquet)):
+        pf = os.path.join(des, f"parquet_{i:09d}.tar")
+        uf = os.path.join(des, f"utt2parquet_{i:09d}.json")
+        sf = os.path.join(des, f"spk2parquet_{i:09d}.json")
+        pack_shard(utts[j : j + num_utts_per_parquet], maps, pf, uf, sf, instruct=instruct, dpo=dpo)
+        parquet_list.append(pf)
+        utt2parquet_list.append(uf)
+        spk2parquet_list.append(sf)
+
+    for name, entries in (
+        ("data.list", parquet_list),
+        ("utt2data.list", utt2parquet_list),
+        ("spk2data.list", spk2parquet_list),
+    ):
+        with open(des / name, "w", encoding="utf8") as f:
+            f.write("".join(e + "\n" for e in entries))
+    return parquet_list

@@ -1,0 +1,259 @@
+"""CosyVoice3 TTS orchestration: LLM -> flow -> vocoder, offline + streaming.
+
+Behavioral reference: cosyvoice/cli/model.py — CosyVoice3Model
+(:392-441) with the CosyVoice2 streaming loop (:325-389):
+- 25-token hops (= training static_chunk_size), first hop padded so the
+  prompt aligns to a hop boundary, 3-token pre-lookahead per chunk
+- FSQ silent-token suppression (> 5 consecutive get dropped, :414, :121-128)
+- CV3 token2wav keeps the FULL accumulated mel and re-runs the causal
+  vocoder, emitting audio past `speech_offset` (:416-441) — glitch-free by
+  construction, no fades needed
+- speed change via linear mel interpolation, offline only (:437-438)
+
+TPU-first differences from the reference's thread+queue design:
+- no llm_job thread / uuid session dicts: sessions are explicit `TTSSession`
+  pytrees; the decode loop is a single jitted while_loop per LLM call.
+- offline mode decodes the whole utterance in ONE device call; streaming
+  mode decodes in hop-sized device calls (generate_speech_tokens with small
+  max_new_tokens per call, resuming from the same KV cache... round 1 uses
+  full-decode + chunked token2wav, which yields identical audio with
+  first-chunk latency = full LLM time; incremental LLM chunking lands with
+  the serving layer).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Generator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CosyVoiceConfig
+from ..data.lm_plan import build_prompt_plan, pad_plans_left
+from ..models.flow import CausalMaskedDiffWithDiT, flow_inference
+from ..models.hift import CausalHiFT
+from ..models.llm import CosyVoice3LM, generate_speech_tokens
+from ..utils.init import fast_init
+
+# FSQ silent and breath tokens (cli/model.py:414)
+SILENT_TOKENS = (1, 2, 28, 29, 55, 248, 494, 2241, 2242, 2322, 2323)
+MAX_SILENT_RUN = 5
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+@dataclass
+class CosyVoice3TTS:
+    cfg: CosyVoiceConfig
+    llm_params: Any
+    flow_params: Any
+    hift_params: Any
+    dtype: Any = jnp.bfloat16
+    seed: int = 1986
+
+    def __post_init__(self):
+        self.llm = CosyVoice3LM(self.cfg.llm, dtype=self.dtype)
+        self.flow = CausalMaskedDiffWithDiT(self.cfg.flow)
+        self.hift = CausalHiFT(self.cfg.hift)
+        self._key = jax.random.PRNGKey(self.seed)
+        self._flow_jit = {}
+        self._hift_jit = {}
+
+    # ---- random-weight factory (tests / benchmarks) -------------------------
+
+    @classmethod
+    def random_init(cls, cfg: CosyVoiceConfig, dtype=jnp.bfloat16) -> "CosyVoice3TTS":
+        llm = CosyVoice3LM(cfg.llm, dtype=dtype)
+        flow = CausalMaskedDiffWithDiT(cfg.flow)
+        hift = CausalHiFT(cfg.hift)
+        t = jnp.zeros((1, 8), jnp.int32)
+        llm_p = fast_init(llm, 0, t, t, jnp.asarray([8]), t)
+        flow_p = fast_init(
+            flow, 1, t, jnp.asarray([8]), jnp.zeros((1, 16, 80)), jnp.asarray([16]),
+            jnp.zeros((1, 192)), jax.random.PRNGKey(0),
+        )
+        hift_p = fast_init(hift, 2, jnp.zeros((1, 16, 80)))
+        llm_p = jax.tree.map(lambda x: jnp.asarray(x, dtype) if x.ndim >= 2 else jnp.asarray(x), llm_p)
+        return cls(cfg, llm_p, flow_p, hift_p, dtype=dtype)
+
+    def next_key(self) -> jax.Array:
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ---- stage 1: AR token generation ---------------------------------------
+
+    def generate_tokens(
+        self,
+        text_tokens: np.ndarray,
+        prompt_text_tokens: np.ndarray = np.zeros(0, np.int32),
+        prompt_speech_tokens: np.ndarray = np.zeros(0, np.int32),
+        min_token_text_ratio: float = 2.0,
+        max_token_text_ratio: float = 20.0,
+    ) -> np.ndarray:
+        """One utterance -> speech tokens (llm.py:713-748 semantics:
+        text = prompt_text ++ text; min/max length from the NEW text length)."""
+        c = self.cfg.llm
+        full_text = np.concatenate([prompt_text_tokens, text_tokens]).astype(np.int32)
+        plan = build_prompt_plan(c, full_text.tolist(), prompt_speech_tokens.tolist())
+        tp = _round_up(len(plan.ids), 32)
+        batch = pad_plans_left([plan], length=tp)
+
+        min_len = int(len(text_tokens) * min_token_text_ratio)
+        max_len = int(len(text_tokens) * max_token_text_ratio)
+        max_new = max(_round_up(max(max_len, 1), 128), 128)
+        cache_len = _round_up(tp + max_new, 128)
+
+        res = generate_speech_tokens(
+            self.llm, self.llm_params,
+            jnp.asarray(batch["src"]), jnp.asarray(batch["ids"]), jnp.asarray(batch["lengths"]),
+            jnp.asarray([min_len], jnp.int32), jnp.asarray([max_len], jnp.int32),
+            self.next_key(), max_new_tokens=max_new, cache_len=cache_len,
+        )
+        tokens = np.asarray(res.tokens)[0, : int(res.num_tokens[0])]
+        return suppress_silent_runs(tokens)
+
+    # ---- stage 2+3: token -> wav --------------------------------------------
+
+    def _flow_fn(self, n_tokens: int, streaming: bool, finalize: bool):
+        key = (n_tokens, streaming, finalize)
+        if key not in self._flow_jit:
+            flow, params = self.flow, self.flow_params
+
+            @jax.jit
+            def fn(token, token_len, prompt_feat, prompt_feat_len, embedding):
+                return flow_inference(
+                    flow, params, token, token_len, prompt_feat, prompt_feat_len, embedding,
+                    streaming=streaming, finalize=finalize,
+                )
+
+            self._flow_jit[key] = fn
+        return self._flow_jit[key]
+
+    def _hift_fn(self, n_mel: int, finalize: bool):
+        key = (n_mel, finalize)
+        if key not in self._hift_jit:
+            hift, params = self.hift, self.hift_params
+
+            @jax.jit
+            def fn(mel):
+                return hift.apply({"params": params}, mel, finalize=finalize)[0]
+
+            self._hift_jit[key] = fn
+        return self._hift_jit[key]
+
+    def token2mel(
+        self,
+        tokens: np.ndarray,
+        prompt_tokens: np.ndarray,
+        prompt_feat: np.ndarray,  # (Lp_mel, 80)
+        embedding: np.ndarray,  # (192,)
+        streaming: bool = False,
+        finalize: bool = True,
+    ) -> np.ndarray:
+        """flow.inference call (token2wav's first half, model.py:418-428):
+        returns ONLY the non-prompt mel region, (L, 80)."""
+        full = np.concatenate([prompt_tokens, tokens]).astype(np.int32)[None]
+        token_len = jnp.asarray([full.shape[1]], jnp.int32)
+        pf = jnp.asarray(prompt_feat, jnp.float32)[None]
+        pf_len = jnp.asarray([prompt_feat.shape[0]], jnp.int32)
+        emb = jnp.asarray(embedding, jnp.float32)[None]
+        fn = self._flow_fn(full.shape[1], streaming, finalize)
+        mel = fn(jnp.asarray(full), token_len, pf, pf_len, emb)
+        return np.asarray(mel)[0, prompt_feat.shape[0] :]
+
+    def vocode(self, mel: np.ndarray, finalize: bool = True) -> np.ndarray:
+        fn = self._hift_fn(mel.shape[0], finalize)
+        return np.asarray(fn(jnp.asarray(mel, jnp.float32)[None]))[0]
+
+    # ---- public generator API (model.py:325-389 / :416-441) ----------------
+
+    def tts(
+        self,
+        text: np.ndarray = np.zeros(0, np.int32),
+        flow_embedding: np.ndarray = np.zeros(192, np.float32),
+        llm_embedding: np.ndarray | None = None,
+        prompt_text: np.ndarray = np.zeros(0, np.int32),
+        llm_prompt_speech_token: np.ndarray = np.zeros(0, np.int32),
+        flow_prompt_speech_token: np.ndarray = np.zeros(0, np.int32),
+        prompt_speech_feat: np.ndarray = np.zeros((0, 80), np.float32),
+        source_speech_token: np.ndarray = np.zeros(0, np.int32),
+        stream: bool = False,
+        speed: float = 1.0,
+        **kwargs,
+    ) -> Generator[dict, None, None]:
+        if source_speech_token.shape[0] == 0:
+            tokens = self.generate_tokens(text, prompt_text, llm_prompt_speech_token)
+        else:
+            tokens = np.asarray(source_speech_token, np.int32)  # vc_job (model.py:131-133)
+
+        c = self.cfg
+        hop = c.chunk_size  # 25
+        la = c.flow.pre_lookahead_len  # 3
+        ratio = c.token_mel_ratio
+
+        if not stream:
+            mel = self.token2mel(tokens, flow_prompt_speech_token, prompt_speech_feat, flow_embedding)
+            if speed != 1.0:
+                mel = _interp_mel(mel, int(mel.shape[0] / speed))
+            audio = self.vocode(mel, finalize=True)
+            yield {"tts_speech": audio}
+            return
+
+        # streaming: first hop absorbs prompt padding to a hop boundary
+        prompt_pad = _round_up(len(flow_prompt_speech_token), hop) - len(flow_prompt_speech_token)
+        token_offset = 0
+        emitted_mel = np.zeros((0, 80), np.float32)
+        speech_offset = 0
+        while True:
+            this_hop = hop + prompt_pad if token_offset == 0 else hop
+            if len(tokens) - token_offset >= this_hop + la:
+                chunk_tokens = tokens[: token_offset + this_hop + la]
+                mel = self.token2mel(
+                    chunk_tokens, flow_prompt_speech_token, prompt_speech_feat, flow_embedding,
+                    streaming=True, finalize=False,
+                )
+                new_mel = mel[token_offset * ratio :]
+                emitted_mel = np.concatenate([emitted_mel, new_mel], axis=0)
+                audio = self.vocode(emitted_mel, finalize=False)
+                token_offset += this_hop
+                chunk_audio = audio[speech_offset:]
+                speech_offset += len(chunk_audio)
+                yield {"tts_speech": chunk_audio}
+            else:
+                break
+        mel = self.token2mel(tokens, flow_prompt_speech_token, prompt_speech_feat, flow_embedding,
+                             streaming=True, finalize=True)
+        emitted_mel = np.concatenate([emitted_mel, mel[token_offset * ratio :]], axis=0)
+        audio = self.vocode(emitted_mel, finalize=True)
+        yield {"tts_speech": audio[speech_offset:]}
+
+
+def suppress_silent_runs(tokens: np.ndarray) -> np.ndarray:
+    """Drop FSQ silent tokens beyond 5 consecutive (model.py:121-128 logic
+    as applied in llm_job)."""
+    out, run = [], 0
+    silent = set(SILENT_TOKENS)
+    for t in tokens.tolist():
+        if t in silent:
+            run += 1
+            if run > MAX_SILENT_RUN:
+                continue
+        else:
+            run = 0
+        out.append(t)
+    return np.asarray(out, np.int32)
+
+
+def _interp_mel(mel: np.ndarray, new_len: int) -> np.ndarray:
+    """torch F.interpolate(mode='linear') on (L, 80) time axis."""
+    l = mel.shape[0]
+    coords = np.clip((np.arange(new_len) + 0.5) * (l / new_len) - 0.5, 0, l - 1)
+    lo = np.floor(coords).astype(int)
+    hi = np.minimum(lo + 1, l - 1)
+    w = (coords - lo)[:, None]
+    return mel[lo] * (1 - w) + mel[hi] * w

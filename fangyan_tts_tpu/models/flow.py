@@ -108,51 +108,19 @@ class CausalMaskedDiffWithDiT(nn.Module):
         emb = self.input_embedding(jnp.clip(token, 0, None))
         return emb * valid[..., None].astype(emb.dtype), valid
 
-    def _solve_euler(self, z, mu, spks, cond, mel_len, streaming: bool):
-        """CFG Euler solve. All args channels-last. Returns (B, L, mel)."""
-        c = self.cfg
-        b, l, d = z.shape
-        attn_mask = chunk_attn_mask(mel_len, l, c.dit.static_chunk_size if streaming else 0)
-
-        t_span = jnp.asarray(cosine_t_span(c.n_timesteps))
-        ts, dts = t_span[:-1], t_span[1:] - t_span[:-1]
-
-        zeros_like_mu = jnp.zeros_like(mu)
-        zeros_like_spk = jnp.zeros_like(spks)
-        zeros_like_cond = jnp.zeros_like(cond)
-        mu2 = jnp.concatenate([mu, zeros_like_mu], axis=0)
-        spks2 = jnp.concatenate([spks, zeros_like_spk], axis=0)
-        cond2 = jnp.concatenate([cond, zeros_like_cond], axis=0)
-        mask2 = jnp.concatenate([attn_mask, attn_mask], axis=0)
-        rate = c.inference_cfg_rate
-
-        # Unrolled Python loop over the (static, 10) timesteps: flax modules
-        # cannot be applied inside a lax.scan closure, and 10 unrolled DiT
-        # calls share one set of weights so XLA CSEs the constants. Each step
-        # runs the CFG pair as one 2B-batch DiT call.
-        x = z
-        for i in range(ts.shape[0]):
-            x2 = jnp.concatenate([x, x], axis=0)
-            t2 = jnp.full((2 * b,), ts[i], x.dtype)
-            v = self.estimator(x2, mu2, t2, spks2, cond2, mask2)
-            v_cond, v_uncond = v[:b], v[b:]
-            dphi = (1.0 + rate) * v_cond - rate * v_uncond
-            x = x + dts[i] * dphi
-        return x
-
-    def inference(
+    def prepare_inference(
         self,
         token: jnp.ndarray,  # (B, Lt) prompt+target speech tokens, concatenated
         token_len: jnp.ndarray,  # (B,)
         prompt_feat: jnp.ndarray,  # (B, Lp_mel, mel) prompt mel (Lp_mel = prompt_token_len * ratio)
         prompt_feat_len: jnp.ndarray,  # (B,)
         embedding: jnp.ndarray,  # (B, 192) speaker x-vector
-        streaming: bool = False,
         finalize: bool = True,
-        noise: jnp.ndarray | None = None,
-    ) -> jnp.ndarray:
-        """Returns generated mel (B, L_mel, mel); caller slices off the prompt
-        region [:prompt_feat_len] (flow.py:401)."""
+    ):
+        """Token/conditioning preprocessing for inference (flow.py:358-390).
+        Returns (mu (B,L,mel), spks (B,mel), conds (B,L,mel), mel_len (B,));
+        the Euler solve runs in `cfm_inference` (a lax.scan that compiles the
+        DiT once, not once per timestep)."""
         c = self.cfg
         emb = embedding / jnp.maximum(jnp.linalg.norm(embedding, axis=1, keepdims=True), 1e-12)
         spks = self.spk_embed_affine_layer(emb)
@@ -178,12 +146,7 @@ class CausalMaskedDiffWithDiT(nn.Module):
             pf = pf[:, :l_mel]
         pos = jnp.arange(l_mel)[None, :, None]
         conds = jnp.where(pos < prompt_feat_len[:, None, None], pf, 0.0)
-
-        if noise is None:
-            noise = jnp.asarray(fixed_cfm_noise()[:, :l_mel, :], h.dtype)
-        z = jnp.broadcast_to(noise[:, :l_mel, :], (b, l_mel, c.output_size)).astype(h.dtype)
-
-        return self._solve_euler(z, h, spks, conds, mel_len, streaming)
+        return h, spks, conds, mel_len
 
     def __call__(
         self,
@@ -239,3 +202,71 @@ class CausalMaskedDiffWithDiT(nn.Module):
         se = jnp.sum(((pred - u) * mask) ** 2)
         loss = se / (jnp.sum(mask) * d)
         return loss, {"loss_cfm": loss}
+
+
+def cfm_solve(
+    cfg: FlowConfig,
+    dit_params,
+    z: jnp.ndarray,
+    mu: jnp.ndarray,
+    spks: jnp.ndarray,
+    conds: jnp.ndarray,
+    mel_len: jnp.ndarray,
+    streaming: bool = False,
+) -> jnp.ndarray:
+    """CFG Euler solve (flow_matching.py:71-124 + 202-227) as a lax.scan.
+
+    The DiT compiles ONCE; the 10 timesteps iterate on device. The CFG pair
+    rides the batch dim (2B) so the MXU sees a single matmul stream. Calling
+    DiT.apply inside the scan body is legal (apply is a pure function) —
+    this lives outside the flow module deliberately.
+    """
+    dit = DiT(cfg.dit)
+    b, l, d = z.shape
+    attn_mask = chunk_attn_mask(mel_len, l, cfg.dit.static_chunk_size if streaming else 0)
+
+    mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
+    spks2 = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+    cond2 = jnp.concatenate([conds, jnp.zeros_like(conds)], axis=0)
+    mask2 = jnp.concatenate([attn_mask, attn_mask], axis=0)
+    rate = cfg.inference_cfg_rate
+
+    t_span = jnp.asarray(cosine_t_span(cfg.n_timesteps), z.dtype)
+    ts, dts = t_span[:-1], t_span[1:] - t_span[:-1]
+
+    def step(x, t_dt):
+        t, dt = t_dt
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.full((2 * b,), t, x.dtype)
+        v = dit.apply({"params": dit_params}, x2, mu2, t2, spks2, cond2, mask2)
+        dphi = (1.0 + rate) * v[:b] - rate * v[b:]
+        return x + dt * dphi, None
+
+    x, _ = jax.lax.scan(step, z, (ts, dts))
+    return x
+
+
+def flow_inference(
+    model: CausalMaskedDiffWithDiT,
+    params,
+    token: jnp.ndarray,
+    token_len: jnp.ndarray,
+    prompt_feat: jnp.ndarray,
+    prompt_feat_len: jnp.ndarray,
+    embedding: jnp.ndarray,
+    streaming: bool = False,
+    finalize: bool = True,
+    noise: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Full token->mel inference (flow.py:358-403). Returns (B, L_mel, mel);
+    the caller slices off the prompt region [:prompt_feat_len]."""
+    c = model.cfg
+    mu, spks, conds, mel_len = model.apply(
+        {"params": params}, token, token_len, prompt_feat, prompt_feat_len, embedding,
+        finalize=finalize, method=CausalMaskedDiffWithDiT.prepare_inference,
+    )
+    b, l_mel, _ = mu.shape
+    if noise is None:
+        noise = jnp.asarray(fixed_cfm_noise()[:, :l_mel, :], mu.dtype)
+    z = jnp.broadcast_to(noise[:, :l_mel, :], (b, l_mel, c.output_size)).astype(mu.dtype)
+    return cfm_solve(c, params["estimator"], z, mu, spks, conds, mel_len, streaming)

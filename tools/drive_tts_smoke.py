@@ -8,7 +8,7 @@ import numpy as np
 
 from fangyan_tts_tpu.config import CosyVoiceConfig, LLMConfig, QwenConfig, FlowConfig, DiTConfig, HiFTConfig
 from fangyan_tts_tpu.models.llm import CosyVoice3LM, generate_speech_tokens
-from fangyan_tts_tpu.models.flow import CausalMaskedDiffWithDiT
+from fangyan_tts_tpu.models.flow import CausalMaskedDiffWithDiT, flow_inference
 from fangyan_tts_tpu.models.hift import CausalHiFT
 
 rng = jax.random.PRNGKey(0)
@@ -53,8 +53,8 @@ token_len = jnp.asarray([Lt])
 prompt_feat = jax.random.normal(rng, (1, 8, 80)) * 0.1
 pf_len = jnp.asarray([8])
 spk = jax.random.normal(rng, (1, 192))
-fparams = flow.init(rng, token, token_len, jnp.zeros((1, Lt*2, 80)), jnp.asarray([Lt*2]), spk, rng, method=None)["params"]
-mel = flow.apply({"params": fparams}, token, token_len, prompt_feat, pf_len, spk, streaming=False, finalize=True, method=flow.inference)
+fparams = flow.init(rng, token, token_len, jnp.zeros((1, Lt*2, 80)), jnp.asarray([Lt*2]), spk, rng)["params"]
+mel = flow_inference(flow, fparams, token, token_len, prompt_feat, pf_len, spk, streaming=False, finalize=True)
 print("flow mel shape:", mel.shape)
 assert mel.shape == (1, Lt*2, 80)
 tr_loss, aux = flow.apply({"params": fparams}, token, token_len, jax.random.normal(rng,(1,Lt*2,80)), jnp.asarray([Lt*2]), spk, rng)
