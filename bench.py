@@ -70,11 +70,11 @@ def main() -> None:
 
     t0 = time.time()
     r = run_llm(key)
-    jax.block_until_ready(r.tokens)
+    np.asarray(r.tokens), np.asarray(r.num_tokens)  # force real sync (block_until_ready returns early on axon)
     log(f"llm compile+first run: {time.time() - t0:.1f}s")
     t0 = time.time()
     r = run_llm(jax.random.PRNGKey(1))
-    jax.block_until_ready(r.tokens)
+    np.asarray(r.tokens), np.asarray(r.num_tokens)  # force real sync (block_until_ready returns early on axon)
     llm_s = time.time() - t0
     n_generated = int(r.num_tokens[0])
     log(f"llm decode: {llm_s:.3f}s for {n_generated} tokens ({n_generated / max(llm_s, 1e-9):.1f} tok/s)")
@@ -96,11 +96,11 @@ def main() -> None:
     infer = jax.jit(lambda p, tok: flow_inference(flow, p, tok, token_len, prompt_feat, pf_len, spk))
     t0 = time.time()
     mel = infer(fparams, token)
-    jax.block_until_ready(mel)
+    np.asarray(mel)
     log(f"flow compile+first run: {time.time() - t0:.1f}s")
     t0 = time.time()
     mel = infer(fparams, token)
-    jax.block_until_ready(mel)
+    np.asarray(mel)
     flow_s = time.time() - t0
     log(f"flow: {flow_s:.3f}s for mel {mel.shape}")
 
@@ -110,11 +110,11 @@ def main() -> None:
     hparams = fast_init(hift, 2, mel)
     voc = jax.jit(lambda p, m: hift.apply({"params": p}, m)[0])
     audio = voc(hparams, mel)
-    jax.block_until_ready(audio)
+    np.asarray(audio)
     log(f"hift init+compile+first: {time.time() - t0:.1f}s")
     t0 = time.time()
     audio = voc(hparams, mel)
-    jax.block_until_ready(audio)
+    np.asarray(audio)
     hift_s = time.time() - t0
     log(f"hift: {hift_s:.3f}s for audio {audio.shape}")
 

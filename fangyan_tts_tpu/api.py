@@ -1,0 +1,173 @@
+"""Public model API — the cli/cosyvoice.py equivalent.
+
+Behavioral reference: cosyvoice/cli/cosyvoice.py:27-240 (CosyVoice /
+CosyVoice2 / CosyVoice3 / AutoModel): yaml+checkpoint load, frontend+model
+build, spk2info management, and the inference_{sft,zero_shot,cross_lingual,
+instruct,instruct2,vc} generators with per-yield RTF logging.
+
+Model directory layout for this framework:
+    config.json                 (CosyVoiceConfig overrides; optional)
+    llm.msgpack / flow.msgpack / hift.msgpack     (converted params)
+    campplus.msgpack / s3tokenizer.msgpack        (optional frontends)
+    tokenizer/                  (HF tokenizer files; optional)
+    spk2info.pt                 (optional saved speakers)
+Reference torch checkpoints (llm.pt/flow.pt/hift.pt) are auto-converted on
+first load if the msgpacks are absent (models/convert.py).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import CosyVoiceConfig, config_from_dict
+from .infer.frontend import Frontend, make_campplus_fn, make_s3_fn
+from .infer.tts import CosyVoice3TTS
+from .tokenizer import get_qwen_tokenizer
+from .train.checkpoint import load_params, save_params
+
+
+def _maybe_convert(model_dir: Path, name: str, convert_fn) -> Path | None:
+    msg = model_dir / f"{name}.msgpack"
+    if msg.exists():
+        return msg
+    pt = model_dir / f"{name}.pt"
+    if pt.exists():
+        import torch
+
+        from .models.convert import filter_training_meta
+
+        sd = filter_training_meta(torch.load(pt, map_location="cpu", weights_only=False))
+        save_params(msg, convert_fn(sd))
+        logging.info("converted %s -> %s", pt, msg)
+        return msg
+    return None
+
+
+class CosyVoice3:
+    """Flagship model family (cli/cosyvoice.py:191-228)."""
+
+    sample_rate = 24000
+
+    def __init__(self, model_dir: str, fp16: bool = True, load_frontend_models: bool = True):
+        from .models.convert import flow_params_from_reference, hift_params_from_reference, llm_params_from_reference
+
+        self.model_dir = Path(model_dir)
+        cfg = CosyVoiceConfig()
+        cfg_path = self.model_dir / "config.json"
+        if cfg_path.exists():
+            cfg = config_from_dict(json.loads(cfg_path.read_text()))
+        self.cfg = cfg
+
+        dtype = jnp.bfloat16 if fp16 else jnp.float32
+        paths = {
+            "llm": _maybe_convert(self.model_dir, "llm", llm_params_from_reference),
+            "flow": _maybe_convert(self.model_dir, "flow", flow_params_from_reference),
+            "hift": _maybe_convert(self.model_dir, "hift", hift_params_from_reference),
+        }
+        missing = [k for k, v in paths.items() if v is None]
+        if missing:
+            raise FileNotFoundError(f"missing checkpoints in {model_dir}: {missing}")
+        llm_p = load_params(paths["llm"])
+        flow_p = load_params(paths["flow"])
+        hift_p = load_params(paths["hift"])
+        import jax
+
+        llm_p = jax.tree.map(lambda x: jnp.asarray(x, dtype) if np.ndim(x) >= 2 else jnp.asarray(x), llm_p)
+        self.model = CosyVoice3TTS(cfg, llm_p, flow_p, hift_p, dtype=dtype)
+
+        tok_dir = self.model_dir / "tokenizer"
+        tokenizer = get_qwen_tokenizer(str(tok_dir) if tok_dir.exists() else None, True, "cosyvoice3")
+
+        campplus_fn = s3_fn = None
+        if load_frontend_models:
+            cp = self.model_dir / "campplus.msgpack"
+            s3 = self.model_dir / "s3tokenizer.msgpack"
+            if cp.exists():
+                campplus_fn = make_campplus_fn(load_params(cp))
+            if s3.exists():
+                s3_fn = make_s3_fn(load_params(s3))
+        self.frontend = Frontend(tokenizer, cfg, campplus_fn, s3_fn, spk2info=self.model_dir / "spk2info.pt")
+
+    # -- speaker management (cli/cosyvoice.py:55-76)
+    def add_zero_shot_spk(self, prompt_text: str, prompt_wav, zero_shot_spk_id: str) -> bool:
+        assert zero_shot_spk_id != "", "do not use empty zero_shot_spk_id"
+        return self.frontend.add_zero_shot_spk(prompt_text, prompt_wav, zero_shot_spk_id)
+
+    def save_spkinfo(self):
+        self.frontend.save_spkinfo(self.model_dir / "spk2info.pt")
+
+    def list_available_spks(self) -> list[str]:
+        return list(self.frontend.spk2info.keys())
+
+    # -- inference generators (cli/cosyvoice.py:78-189)
+    def _run(self, model_input: dict, stream: bool, speed: float, text_label: str):
+        start = time.time()
+        for out in self.model.tts(stream=stream, speed=speed, **model_input):
+            speech_len = len(out["tts_speech"]) / self.sample_rate
+            rtf = (time.time() - start) / max(speech_len, 1e-9)
+            logging.info("yield speech len %.2f, rtf %.3f (%s)", speech_len, rtf, text_label)
+            yield out
+            start = time.time()
+
+    def inference_zero_shot(self, tts_text, prompt_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True):
+        prompt_text_norm = self.frontend.text_normalize(prompt_text, split=False, text_frontend=text_frontend)
+        for seg in self.frontend.text_normalize(tts_text, split=True, text_frontend=text_frontend):
+            if len(seg) < 0.5 * len(prompt_text_norm):
+                logging.warning("synthesis text %s too short than prompt text %s, this may lead to bad performance", seg, prompt_text_norm)
+            mi = self.frontend.frontend_zero_shot(seg, prompt_text_norm, prompt_wav, zero_shot_spk_id)
+            yield from self._run(mi, stream, speed, seg)
+
+    def inference_cross_lingual(self, tts_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True):
+        for seg in self.frontend.text_normalize(tts_text, split=True, text_frontend=text_frontend):
+            mi = self.frontend.frontend_cross_lingual(seg, prompt_wav, zero_shot_spk_id)
+            yield from self._run(mi, stream, speed, seg)
+
+    def inference_instruct2(self, tts_text, instruct_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True):
+        assert "<|endofprompt|>" in instruct_text, "v3 instruct should contain <|endofprompt|>"
+        for seg in self.frontend.text_normalize(tts_text, split=True, text_frontend=text_frontend):
+            mi = self.frontend.frontend_instruct2(seg, instruct_text, prompt_wav, zero_shot_spk_id)
+            yield from self._run(mi, stream, speed, seg)
+
+    def inference_sft(self, tts_text, spk_id, stream=False, speed=1.0, text_frontend=True):
+        for seg in self.frontend.text_normalize(tts_text, split=True, text_frontend=text_frontend):
+            mi = self.frontend.frontend_sft(seg, spk_id)
+            yield from self._run(mi, stream, speed, seg)
+
+    def inference_vc(self, source_wav, prompt_wav, stream=False, speed=1.0):
+        from .data.audio import load_audio
+
+        src16, _ = load_audio(source_wav, target_sr=16000) if isinstance(source_wav, (str, Path)) else (source_wav, 16000)
+        mi = self.frontend.frontend_vc(src16, prompt_wav)
+        mi["source_speech_token"] = np.asarray(mi.pop("source_speech_token"), np.int32)
+        yield from self._run(mi, stream, speed, "vc")
+
+
+class CosyVoice2(CosyVoice3):
+    """CosyVoice2 shares the runtime surface; config.json selects the v2
+    hyperparameters (Qwen2LM head layout, UpsampleConformer flow). Round-1
+    scope: v3 weights path; v2-specific modules land with weight support."""
+
+
+class CosyVoice(CosyVoice3):
+    """CosyVoice1 placeholder for AutoModel dispatch."""
+
+
+def AutoModel(model_dir: str, **kwargs):
+    """Dispatch by files present (cli/cosyvoice.py:230-240)."""
+    d = Path(model_dir)
+    if (d / "config.json").exists():
+        version = json.loads((d / "config.json").read_text()).get("version", 3)
+    elif (d / "cosyvoice3.yaml").exists() or (d / "llm.pt").exists():
+        version = 3
+    elif (d / "cosyvoice2.yaml").exists():
+        version = 2
+    else:
+        version = 3
+    cls = {1: CosyVoice, 2: CosyVoice2, 3: CosyVoice3}[version]
+    return cls(model_dir, **kwargs)

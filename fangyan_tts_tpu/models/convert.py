@@ -29,7 +29,7 @@ def qwen2_params_from_hf(state_dict: Mapping[str, Any], num_layers: int, prefix:
     Linear weights are transposed (torch stores (out, in); flax Dense kernels
     are (in, out)).
     """
-    p: dict[str, Any] = {}
+    layers: list[dict] = []
     for i in range(num_layers):
         lp = f"{prefix}layers.{i}."
         layer = {
@@ -46,10 +46,163 @@ def qwen2_params_from_hf(state_dict: Mapping[str, Any], num_layers: int, prefix:
             layer["self_attn"][name] = w
         for name in ("gate_proj", "up_proj", "down_proj"):
             layer["mlp"][name] = {"kernel": _t(state_dict[lp + f"mlp.{name}.weight"]).T}
-        p[f"layers_{i}"] = layer
-    p["norm"] = {"weight": _t(state_dict[prefix + "norm.weight"])}
-    return p
+        layers.append(layer)
+    # stack per-layer trees along a leading layer axis (Qwen2Model nn.scan layout)
+    import jax
+
+    stacked = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *layers)
+    return {"layers": stacked, "norm": {"weight": _t(state_dict[prefix + "norm.weight"])}}
 
 
 def embed_tokens_from_hf(state_dict: Mapping[str, Any], prefix: str = "model.") -> np.ndarray:
     return _t(state_dict[prefix + "embed_tokens.weight"])
+
+
+def _fold_weight_norm(sd: Mapping[str, Any], base: str) -> np.ndarray:
+    """Fold torch weight_norm into a plain weight. Handles both the modern
+    parametrizations layout (original0=g, original1=v) and legacy
+    weight_g/weight_v; falls back to a plain `.weight`."""
+    for g_key, v_key in (
+        (base + ".parametrizations.weight.original0", base + ".parametrizations.weight.original1"),
+        (base + ".weight_g", base + ".weight_v"),
+    ):
+        if g_key in sd:
+            g = _t(sd[g_key]).astype(np.float64)
+            v = _t(sd[v_key]).astype(np.float64)
+            axes = tuple(range(1, v.ndim))
+            norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
+            return (g * v / np.maximum(norm, 1e-12)).astype(np.float32)
+    return _t(sd[base + ".weight"])
+
+
+def _conv_w(sd, base) -> np.ndarray:
+    """torch Conv1d weight (out, in/groups, k) -> flax (k, in/groups, out)."""
+    return _fold_weight_norm(sd, base).transpose(2, 1, 0)
+
+
+def _lin(sd, base) -> dict:
+    out = {"kernel": _fold_weight_norm(sd, base).T}
+    if base + ".bias" in sd:
+        out["bias"] = _t(sd[base + ".bias"])
+    return out
+
+
+def _conv(sd, base) -> dict:
+    out = {"kernel": _conv_w(sd, base)}
+    if base + ".bias" in sd:
+        out["bias"] = _t(sd[base + ".bias"])
+    return out
+
+
+def llm_params_from_reference(sd: Mapping[str, Any], num_layers: int = 24) -> dict:
+    """CosyVoice llm.pt -> CosyVoice3LM params.
+
+    Reference layout (llm.py:628-668): llm.model.* is the HF Qwen2ForCausalLM
+    (Qwen2Encoder wrapper, llm.py:230-233); speech_embedding and llm_decoder
+    sit beside it. epoch/step metadata keys are ignored
+    (compare_inference.py:36-44 does the same filtering)."""
+    p = {
+        "embed_tokens": {"embedding": _t(sd["llm.model.model.embed_tokens.weight"])},
+        "speech_embedding": {"embedding": _t(sd["speech_embedding.weight"])},
+        "llm_decoder": {"kernel": _t(sd["llm_decoder.weight"]).T},
+        "llm": qwen2_params_from_hf(sd, num_layers, prefix="llm.model.model."),
+    }
+    return p
+
+
+def flow_params_from_reference(sd: Mapping[str, Any], depth: int = 22) -> dict:
+    """CosyVoice flow.pt -> CausalMaskedDiffWithDiT params.
+
+    Mapping notes (torch module paths from flow.py:278-310, DiT/dit.py:104-143,
+    DiT/modules.py):
+    - AdaLN chunk orders match (shift/scale/gate msa, shift/scale/gate mlp;
+      final layer: scale then shift) — verified against modules.py:241,262.
+    - the rotary quirk needs no weights (models/dit.py reproduces it in code).
+    """
+    est = "decoder.estimator."
+    p: dict = {
+        "input_embedding": {"embedding": _t(sd["input_embedding.weight"])},
+        "spk_embed_affine_layer": _lin(sd, "spk_embed_affine_layer"),
+        "pre_lookahead_layer": {
+            "conv1_kernel": _conv_w(sd, "pre_lookahead_layer.conv1"),
+            "conv1_bias": _t(sd["pre_lookahead_layer.conv1.bias"]),
+            "conv2_kernel": _conv_w(sd, "pre_lookahead_layer.conv2"),
+            "conv2_bias": _t(sd["pre_lookahead_layer.conv2.bias"]),
+        },
+        "estimator": {
+            "time_embed": {
+                "mlp_0": _lin(sd, est + "time_embed.time_mlp.0"),
+                "mlp_2": _lin(sd, est + "time_embed.time_mlp.2"),
+            },
+            "input_proj": _lin(sd, est + "input_embed.proj"),
+            "conv_pos_embed": {
+                "conv1_kernel": _conv_w(sd, est + "input_embed.conv_pos_embed.conv1.0"),
+                "conv1_bias": _t(sd[est + "input_embed.conv_pos_embed.conv1.0.bias"]),
+                "conv2_kernel": _conv_w(sd, est + "input_embed.conv_pos_embed.conv2.0"),
+                "conv2_bias": _t(sd[est + "input_embed.conv_pos_embed.conv2.0.bias"]),
+            },
+            "norm_out_linear": _lin(sd, est + "norm_out.linear"),
+            "proj_out": _lin(sd, est + "proj_out"),
+        },
+    }
+    blocks = []
+    for i in range(depth):
+        b = f"{est}transformer_blocks.{i}."
+        blocks.append(
+            {
+                "attn_norm_linear": _lin(sd, b + "attn_norm.linear"),
+                "attn": {
+                    "to_q": _lin(sd, b + "attn.to_q"),
+                    "to_k": _lin(sd, b + "attn.to_k"),
+                    "to_v": _lin(sd, b + "attn.to_v"),
+                    "to_out": _lin(sd, b + "attn.to_out.0"),
+                },
+                "ff_0": _lin(sd, b + "ff.ff.0.0"),
+                "ff_2": _lin(sd, b + "ff.ff.2"),
+            }
+        )
+    import jax
+
+    p["estimator"]["blocks"] = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)
+    return p
+
+
+def hift_params_from_reference(
+    sd: Mapping[str, Any],
+    upsample_rates: tuple = (8, 5, 3),
+    num_resblock_kernels: int = 3,
+    resblock_dilations: int = 3,
+) -> dict:
+    """CosyVoice hift.pt -> CausalHiFT params (generator.py:572-726 layout,
+    weight_norm folded)."""
+    p: dict = {
+        "conv_pre": _conv(sd, "conv_pre"),
+        "conv_post": _conv(sd, "conv_post"),
+        "m_source": {"l_linear": _lin(sd, "m_source.l_linear")},
+        "f0_predictor": {"classifier": _lin(sd, "f0_predictor.classifier")},
+    }
+    for i in range(5):
+        p["f0_predictor"][f"conv{i}"] = _conv(sd, f"f0_predictor.condnet.{2 * i}")
+    for i in range(len(upsample_rates)):
+        p[f"ups_{i}"] = _conv(sd, f"ups.{i}")
+        p[f"source_downs_{i}"] = _conv(sd, f"source_downs.{i}")
+        p[f"source_resblocks_{i}"] = _resblock(sd, f"source_resblocks.{i}", resblock_dilations)
+        for j in range(num_resblock_kernels):
+            p[f"resblocks_{i}_{j}"] = _resblock(sd, f"resblocks.{i * num_resblock_kernels + j}", resblock_dilations)
+    return p
+
+
+def _resblock(sd, base, n_dil: int) -> dict:
+    out: dict = {}
+    for j in range(n_dil):
+        out[f"convs1_{j}"] = _conv(sd, f"{base}.convs1.{j}")
+        out[f"convs2_{j}"] = _conv(sd, f"{base}.convs2.{j}")
+        out[f"alpha1_{j}"] = _t(sd[f"{base}.activations1.{j}.alpha"])
+        out[f"alpha2_{j}"] = _t(sd[f"{base}.activations2.{j}.alpha"])
+    return out
+
+
+def filter_training_meta(sd: Mapping[str, Any]) -> dict:
+    """Drop epoch/step scalars from a reference training checkpoint
+    (compare_inference.py:36-40)."""
+    return {k: v for k, v in sd.items() if k not in ("epoch", "step")}

@@ -122,7 +122,9 @@ class DiTBlock(nn.Module):
     cfg: DiTConfig
 
     @nn.compact
-    def __call__(self, x, t_emb, attn_bias, cos, sin):
+    def __call__(self, carry, _=None):
+        """Scan-compatible: carry = (x, t_emb, attn_bias, cos, sin)."""
+        x, t_emb, attn_bias, cos, sin = carry
         c = self.cfg
         # AdaLN-Zero (modules.py:230-244)
         mod = nn.Dense(c.dim * 6, name="attn_norm_linear", dtype=x.dtype)(nn.silu(t_emb))
@@ -137,7 +139,7 @@ class DiTBlock(nn.Module):
         h = nn.gelu(h, approximate=True)
         h = nn.Dense(c.dim, name="ff_2", dtype=x.dtype)(h)
         x = x + gate_mlp[:, None] * h
-        return x
+        return (x, t_emb, attn_bias, cos, sin), None
 
 
 class DiT(nn.Module):
@@ -170,8 +172,15 @@ class DiT(nn.Module):
         cos, sin = jnp.cos(freqs).astype(x.dtype), jnp.sin(freqs).astype(x.dtype)
         bias = mask_to_bias(attn_mask)
 
-        for i in range(c.depth):
-            h = DiTBlock(c, name=f"blocks_{i}")(h, t_emb, bias, cos, sin)
+        # nn.scan over stacked block params ('blocks' subtree, leaves (depth,
+        # ...)): one compiled block body instead of `depth` inlined copies.
+        scan = nn.scan(
+            DiTBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=c.depth,
+        )
+        (h, *_), _ = scan(c, name="blocks")((h, t_emb, bias, cos, sin), None)
 
         # AdaLayerNormZero_Final (modules.py:251-265)
         mod = nn.Dense(c.dim * 2, name="norm_out_linear", dtype=x.dtype)(nn.silu(t_emb))

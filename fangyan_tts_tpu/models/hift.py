@@ -282,6 +282,14 @@ class CausalHiFT(nn.Module):
             audio = audio[:, : -int(np.prod(c.upsample_rates)) * c.istft_hop_len]
         return jnp.clip(audio, -c.audio_limit, c.audio_limit)
 
+    def forward_train(self, mel: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """GAN-training forward (HiFTGenerator.forward, generator.py:541-555):
+        returns (audio (B, L*480), f0 (B, L))."""
+        mel32 = mel.astype(jnp.float32)
+        f0 = self.f0_predictor(mel32)
+        s = self.m_source(f0).astype(mel.dtype)
+        return self.decode(mel, s, finalize=True), f0
+
     def __call__(self, mel: jnp.ndarray, finalize: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
         """mel: (B, L, 80) -> (audio (B, ~L*480), source). Matches
         CausalHiFTGenerator.inference (generator.py:713-726)."""

@@ -81,7 +81,7 @@ class CosyVoice3LM(nn.Module):
         causal = kk <= kq  # (Tp, Tp)
         key_valid = slot >= start[:, None]  # (B, Tp)
         bias = jnp.where(causal[None] & key_valid[:, None, :], 0.0, -1e10).astype(jnp.float32)
-        max_len = cache[0]["k"].shape[1]
+        max_len = cache["k"].shape[2]
         bias = jnp.concatenate([bias, jnp.full((b, tp, max_len - tp), -1e10, jnp.float32)], axis=-1)
         h, cache = self.llm(x, positions, bias, cache)
         return h[:, -1], cache
@@ -91,10 +91,10 @@ class CosyVoice3LM(nn.Module):
         positions; start: (B,) first valid cache slot; end: scalar slot bound
         (exclusive, uniform). Returns (logits (B, V), cache)."""
         emb = self.speech_embedding(token)[:, None, :]
-        max_len = cache[0]["k"].shape[1]
+        max_len = cache["k"].shape[2]
         slot = jnp.arange(max_len, dtype=jnp.int32)[None, None, :]
         bias = jnp.where((slot >= start[:, None, None]) & (slot < end), 0.0, -1e10).astype(jnp.float32)
-        h, cache = self.llm(emb.astype(cache[0]["k"].dtype), positions, bias, cache)
+        h, cache = self.llm(emb.astype(cache["k"].dtype), positions, bias, cache)
         return self.llm_decoder(h[:, 0]), cache
 
 
@@ -171,18 +171,22 @@ def generate_speech_tokens(
         )(keys[1:], logp, recent, allowed)
         return toks, keys[0]
 
-    tokens0 = jnp.zeros((b, max_new_tokens), jnp.int32)
     recent0 = jnp.full((b, win), -1, jnp.int32)
     done0 = jnp.zeros((b,), bool)
     counts0 = jnp.zeros((b,), jnp.int32)
 
-    def body(carry):
-        i, tokens, recent, done, counts, cache, logits, key = carry
+    # Fixed-length lax.scan with done-masking instead of a data-dependent
+    # while_loop: XLA compiles the scan body once and the loop bound is
+    # static, which compiles orders of magnitude faster for deep carried
+    # KV-cache pytrees (while_loop compile time blows up with layer count on
+    # the v5e toolchain). Finished rows keep stepping on masked tokens; the
+    # waste is bounded by the max_new_tokens bucket.
+    def body(carry, i):
+        recent, done, counts, cache, logits, key = carry
         tok, key = sample(logits, i, recent, key)
         is_stop = tok >= stop_start
         emit = (~done) & (~is_stop) & (i < max_lens)
         tok_clean = jnp.where(emit, tok, 0)
-        tokens = jax.lax.dynamic_update_slice(tokens, tok_clean[:, None], (0, i))
         counts = counts + emit.astype(jnp.int32)
         recent = jnp.where(
             emit[:, None], jnp.concatenate([recent[:, 1:], tok_clean[:, None]], axis=1), recent
@@ -191,12 +195,9 @@ def generate_speech_tokens(
 
         positions = (prompt_lens.astype(jnp.int32) + i)[:, None]
         logits, cache = bound.decode_step(tok_clean, positions, start_slots, tp + i + 1, cache)
-        return (i + 1, tokens, recent, done, counts, cache, logits, key)
+        return (recent, done, counts, cache, logits, key), jnp.where(emit, tok_clean, -1)
 
-    def cond(carry):
-        i, _, _, done, *_ = carry
-        return (i < max_new_tokens) & (~jnp.all(done))
-
-    carry = (jnp.asarray(0, jnp.int32), tokens0, recent0, done0, counts0, cache, first_logits, key)
-    _, tokens, _, _, counts, _, _, _ = jax.lax.while_loop(cond, body, carry)
+    carry = (recent0, done0, counts0, cache, first_logits, key)
+    (_, _, counts, _, _, _), toks = jax.lax.scan(body, carry, jnp.arange(max_new_tokens, dtype=jnp.int32))
+    tokens = jnp.maximum(toks.T, 0)  # (B, max_new); -1 (non-emitted) -> 0, counted by `counts`
     return DecodeResult(tokens=tokens, num_tokens=counts)

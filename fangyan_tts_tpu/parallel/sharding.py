@@ -53,7 +53,10 @@ def param_pspec(path: str, shape: tuple[int, ...], mesh: Mesh) -> P:
     if tp > 1:
         for pat, spec in _TP_RULES:
             if re.search(pat, path):
-                # only keep axes that divide evenly
+                # stacked-layer params (leading L axis from nn.scan) get an
+                # extra leading None
+                if len(shape) == len(spec) + 1 and "layers/" in path:
+                    spec = P(None, *spec)
                 ok = all(
                     s is None or (shape[i] % mesh.shape[s] == 0)
                     for i, s in enumerate(spec)

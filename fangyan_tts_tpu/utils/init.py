@@ -34,6 +34,8 @@ def fast_init(model, rng_seed: int, *args, dtype=None, **kwargs) -> Any:
         elif len(shape) <= 1:
             arr = np.zeros(shape, ldt)
         else:
-            arr = (rng.standard_normal(shape) * 0.02).astype(ldt)
+            arr = rng.standard_normal(shape, dtype=np.float32) * np.float32(0.02)
+            if arr.dtype != ldt:
+                arr = arr.astype(ldt)
         leaves.append(arr)
     return jax.tree_util.tree_unflatten(treedef, leaves)["params"]
