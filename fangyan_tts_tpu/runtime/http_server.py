@@ -1,0 +1,149 @@
+"""Streaming HTTP TTS server — the FastAPI server equivalent.
+
+Behavioral reference: CosyVoice/runtime/python/fastapi/server.py:40-95 —
+endpoints /inference_{sft,zero_shot,cross_lingual,instruct,instruct2}
+accepting multipart form data (tts_text/spk_id/prompt_text/instruct_text
+fields + prompt_wav file upload), streaming raw int16 PCM chunks.
+
+fastapi/uvicorn are not in this image, so this is a stdlib
+ThreadingHTTPServer with chunked transfer encoding — same endpoints, same
+wire format, drop-in for the reference's client.py.
+
+Run: python -m fangyan_tts_tpu.runtime.http_server --port 50000 --model_dir <dir>
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import re
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+_model = None
+_model_lock = threading.Lock()
+
+
+def _parse_multipart(body: bytes, content_type: str) -> dict:
+    """Minimal multipart/form-data parser (fields + file contents)."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        return {}
+    boundary = b"--" + m.group(1).encode()
+    out: dict[str, bytes] = {}
+    for part in body.split(boundary):
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        if b"\r\n\r\n" not in part:
+            continue
+        header, _, content = part.partition(b"\r\n\r\n")
+        nm = re.search(rb'name="([^"]+)"', header)
+        if nm:
+            out[nm.group(1).decode()] = content
+    return out
+
+
+class TTSHandler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+
+    def _fields(self) -> dict:
+        parsed = urlparse(self.path)
+        fields: dict = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+        length = int(self.headers.get("Content-Length", 0) or 0)
+        if length:
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            if "multipart/form-data" in ctype:
+                parts = _parse_multipart(body, ctype)
+                for k, v in parts.items():
+                    fields[k] = v if k == "prompt_wav" else v.decode("utf-8", "replace")
+            elif "application/json" in ctype:
+                fields.update(json.loads(body))
+            elif "application/x-www-form-urlencoded" in ctype:
+                fields.update({k: v[0] for k, v in parse_qs(body.decode()).items()})
+        return fields
+
+    def _stream(self, generator) -> None:
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        for out in generator:
+            pcm = (np.clip(out["tts_speech"], -1, 1) * (2**15)).astype("<i2").tobytes()
+            self.wfile.write(f"{len(pcm):X}\r\n".encode())
+            self.wfile.write(pcm + b"\r\n")
+        self.wfile.write(b"0\r\n\r\n")
+
+    def _prompt_file(self, fields) -> str:
+        data = fields.get("prompt_wav", b"")
+        tmp = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
+        tmp.write(data if isinstance(data, bytes) else data.encode())
+        tmp.close()
+        return tmp.name
+
+    def _handle(self) -> None:
+        route = urlparse(self.path).path
+        f = self._fields()
+        try:
+            with _model_lock:
+                if route == "/inference_sft":
+                    gen = _model.inference_sft(f["tts_text"], f["spk_id"])
+                elif route == "/inference_zero_shot":
+                    gen = _model.inference_zero_shot(f["tts_text"], f.get("prompt_text", ""), self._prompt_file(f))
+                elif route == "/inference_cross_lingual":
+                    gen = _model.inference_cross_lingual(f["tts_text"], self._prompt_file(f))
+                elif route == "/inference_instruct":
+                    gen = _model.inference_instruct(f["tts_text"], f["spk_id"], f["instruct_text"])
+                elif route == "/inference_instruct2":
+                    gen = _model.inference_instruct2(f["tts_text"], f["instruct_text"], self._prompt_file(f))
+                elif route == "/health":
+                    body = b'{"status": "ok"}'
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                else:
+                    self.send_error(404, f"unknown route {route}")
+                    return
+                self._stream(gen)
+        except (KeyError, ValueError, AssertionError) as e:
+            self.send_error(400, f"{type(e).__name__}: {e}")
+
+    do_GET = _handle
+    do_POST = _handle
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+
+def serve(model, host: str = "0.0.0.0", port: int = 50000) -> ThreadingHTTPServer:
+    global _model
+    _model = model
+    server = ThreadingHTTPServer((host, port), TTSHandler)
+    return server
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--port", type=int, default=50000)
+    parser.add_argument("--model_dir", type=str, required=True)
+    args = parser.parse_args(argv)
+
+    from ..api import AutoModel
+
+    model = AutoModel(model_dir=args.model_dir)
+    server = serve(model, port=args.port)
+    print(f"serving on :{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""End-to-end serving tests: HTTP + gRPC servers with a tiny random model."""
+
+import io
+import threading
+import urllib.request
+import wave
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fangyan_tts_tpu.config import CosyVoiceConfig, DiTConfig, FlowConfig, HiFTConfig, LLMConfig, QwenConfig
+from fangyan_tts_tpu.infer.frontend import Frontend
+from fangyan_tts_tpu.infer.tts import CosyVoice3TTS
+from fangyan_tts_tpu.tokenizer import ByteFallbackTokenizer
+
+
+class TinyModel:
+    """Minimal object satisfying the server-facing API surface."""
+
+    sample_rate = 24000
+
+    def __init__(self):
+        qwen = QwenConfig(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                          num_attention_heads=4, num_key_value_heads=2, head_dim=16, vocab_size=300)
+        cfg = CosyVoiceConfig(
+            llm=LLMConfig(llm_input_size=64, llm_output_size=64, speech_token_size=50, extra_tokens=8, qwen=qwen),
+            flow=FlowConfig(vocab_size=50, dit=DiTConfig(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2, static_chunk_size=10), n_timesteps=2),
+            hift=HiFTConfig(base_channels=64, f0_cond_channels=32),
+        )
+        self.tts = CosyVoice3TTS.random_init(cfg, dtype=jnp.float32)
+        self.tokenizer = ByteFallbackTokenizer()
+
+    def inference_sft(self, tts_text, spk_id):
+        text = np.asarray(self.tokenizer.encode(tts_text)[:12], np.int32)
+        yield from self.tts.tts(text=text, flow_embedding=np.zeros(192, np.float32))
+
+    def inference_zero_shot(self, tts_text, prompt_text, prompt_wav, **kw):
+        yield from self.inference_sft(tts_text, "")
+
+    def inference_cross_lingual(self, tts_text, prompt_wav, **kw):
+        yield from self.inference_sft(tts_text, "")
+
+    def inference_instruct(self, tts_text, spk_id, instruct_text, **kw):
+        yield from self.inference_sft(tts_text, spk_id)
+
+    def inference_instruct2(self, tts_text, instruct_text, prompt_wav, **kw):
+        yield from self.inference_sft(tts_text, "")
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return TinyModel()
+
+
+def test_http_server_endpoints(tiny_model):
+    from fangyan_tts_tpu.runtime.http_server import serve
+
+    server = serve(tiny_model, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}/inference_sft?tts_text=hello&spk_id=x"
+        with urllib.request.urlopen(url, timeout=120) as resp:
+            pcm = resp.read()
+        assert len(pcm) > 1000 and len(pcm) % 2 == 0
+        audio = np.frombuffer(pcm, dtype="<i2")
+        assert np.abs(audio).max() > 0
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=10) as resp:
+            assert b"ok" in resp.read()
+
+        # unknown route -> 404
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=10)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        # missing field -> 400
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/inference_sft?spk_id=x", timeout=60)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+
+
+def test_grpc_server_roundtrip(tiny_model):
+    grpc = pytest.importorskip("grpc")
+    from fangyan_tts_tpu.runtime.grpc_server import serve
+    from fangyan_tts_tpu.runtime.grpc_client import inference_stream
+    import cosyvoice_pb2 as pb
+
+    server = serve(tiny_model, port=0)
+    # port 0: grab actual bound port
+    port = server.add_insecure_port("127.0.0.1:0")
+    # NOTE add_insecure_port post-start returns 0; instead bind explicitly
+    server.stop(None)
+
+    server = grpc.server(__import__("concurrent.futures", fromlist=["futures"]).ThreadPoolExecutor(max_workers=2))
+    from fangyan_tts_tpu.runtime.grpc_server import make_servicer
+
+    server.add_generic_rpc_handlers((make_servicer(tiny_model),))
+    port = server.add_insecure_port("127.0.0.1:0")
+    server.start()
+    try:
+        req = pb.Request()
+        req.sft_request.spk_id = "x"
+        req.sft_request.tts_text = "hello grpc"
+        chunks = list(inference_stream(f"127.0.0.1:{port}", req, timeout=120))
+        pcm = b"".join(chunks)
+        assert len(pcm) > 1000
+    finally:
+        server.stop(None)
