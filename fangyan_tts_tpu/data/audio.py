@@ -23,8 +23,10 @@ import numpy as np
 
 def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     """Returns (float32 mono-or-multichannel (C, T) squeezed to (T,) if mono,
-    sample_rate). PCM16/24/32 and float32 supported."""
-    with wave.open(str(path), "rb") as w:
+    sample_rate). PCM16/24/32 and float32 supported. `path` may be a path or
+    a binary file object (e.g. BytesIO over parquet audio bytes)."""
+    src = path if hasattr(path, "read") else str(path)
+    with wave.open(src, "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()
         ch = w.getnchannels()

@@ -63,6 +63,11 @@ class CosyVoice3TTS:
         self._key = jax.random.PRNGKey(self.seed)
         self._flow_jit = {}
         self._hift_jit = {}
+        # compute-dtype params: fp32 matmuls are pathologically slow on TPU
+        # (measured 1000x vs bf16 for the DiT); the f0 predictor stays fp32
+        # (precision-critical, generator.py:715-717).
+        self.flow_params = _cast_params(self.flow_params, self.dtype)
+        self.hift_params = _cast_params(self.hift_params, self.dtype, keep_f32=("f0_predictor",))
 
     # ---- random-weight factory (tests / benchmarks) -------------------------
 
@@ -159,16 +164,16 @@ class CosyVoice3TTS:
         returns ONLY the non-prompt mel region, (L, 80)."""
         full = np.concatenate([prompt_tokens, tokens]).astype(np.int32)[None]
         token_len = jnp.asarray([full.shape[1]], jnp.int32)
-        pf = jnp.asarray(prompt_feat, jnp.float32)[None]
+        pf = jnp.asarray(prompt_feat, self.dtype)[None]
         pf_len = jnp.asarray([prompt_feat.shape[0]], jnp.int32)
-        emb = jnp.asarray(embedding, jnp.float32)[None]
+        emb = jnp.asarray(embedding, self.dtype)[None]
         fn = self._flow_fn(full.shape[1], streaming, finalize)
         mel = fn(jnp.asarray(full), token_len, pf, pf_len, emb)
-        return np.asarray(mel)[0, prompt_feat.shape[0] :]
+        return np.asarray(mel.astype(jnp.float32))[0, prompt_feat.shape[0] :]
 
     def vocode(self, mel: np.ndarray, finalize: bool = True) -> np.ndarray:
         fn = self._hift_fn(mel.shape[0], finalize)
-        return np.asarray(fn(jnp.asarray(mel, jnp.float32)[None]))[0]
+        return np.asarray(fn(jnp.asarray(mel, self.dtype)[None]).astype(jnp.float32))[0]
 
     # ---- public generator API (model.py:325-389 / :416-441) ----------------
 
@@ -231,6 +236,21 @@ class CosyVoice3TTS:
         emitted_mel = np.concatenate([emitted_mel, mel[token_offset * ratio :]], axis=0)
         audio = self.vocode(emitted_mel, finalize=True)
         yield {"tts_speech": audio[speech_offset:]}
+
+
+def _cast_params(params: Any, dtype, keep_f32: tuple[str, ...] = ()) -> Any:
+    """Cast >=2D params to `dtype`, preserving named top-level subtrees."""
+    import jax.numpy as jnp
+
+    def cast_tree(tree):
+        return jax.tree.map(lambda x: jnp.asarray(x, dtype) if hasattr(x, "ndim") and x.ndim >= 2 else jnp.asarray(x), tree)
+
+    if not isinstance(params, dict):
+        return cast_tree(params)
+    out = {}
+    for k, v in params.items():
+        out[k] = jax.tree.map(jnp.asarray, v) if k in keep_f32 else cast_tree(v)
+    return out
 
 
 def suppress_silent_runs(tokens: np.ndarray) -> np.ndarray:
