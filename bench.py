@@ -8,7 +8,7 @@ faster than the reference pipeline).
 
 Benches the real pipeline object (infer/tts.py CosyVoice3TTS, bf16 compute,
 fp32 f0 path) with full-size architecture and random weights: LLM AR decode
-(single scan over a ring KV cache) -> flow CFM 10-step scan with CFG-batched
+(single scan over a ring KV cache, 192-step bucket) -> flow CFM 10-step scan with CFG-batched
 DiT (22x1024) -> causal HiFT. Timings sync via np.asarray (block_until_ready
 returns early on the axon backend).
 """
@@ -58,7 +58,7 @@ def main() -> None:
     )
 
     def run_llm(k):
-        return generate_speech_tokens(tts.llm, tts.llm_params, *args, key=k, max_new_tokens=256, cache_len=512)
+        return generate_speech_tokens(tts.llm, tts.llm_params, *args, key=k, max_new_tokens=192, cache_len=256)
 
     t0 = time.time()
     r = run_llm(jax.random.PRNGKey(0))

@@ -40,8 +40,11 @@ def main(argv=None) -> None:
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 98, 80)))["params"]
 
     @jax.jit
+    def _apply(p, fbank):
+        return model.apply({"params": p}, fbank)
+
     def apply_fn(fbank, frame_len):
-        return model.apply({"params": params}, fbank)
+        return _apply(params, fbank)
 
     t0 = time.time()
     utt2emb = extract_embeddings(args.dir, apply_fn, batch_size=args.batch_size)

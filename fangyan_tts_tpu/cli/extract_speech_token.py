@@ -36,8 +36,11 @@ def main(argv=None) -> None:
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 200)), jnp.asarray([200]))["params"]
 
     @jax.jit
+    def _apply(p, mel, mel_len):
+        return model.apply({"params": p}, mel, mel_len)
+
     def apply_fn(mel, mel_len):
-        return model.apply({"params": params}, mel, mel_len)
+        return _apply(params, mel, mel_len)
 
     t0 = time.time()
     utt2tok = extract_speech_tokens(args.dir, apply_fn, batch_size=args.batch_size)

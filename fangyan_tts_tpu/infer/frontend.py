@@ -203,11 +203,12 @@ def make_campplus_fn(params) -> Callable:
 
     model = CAMPPlus()
 
+    # params as jit argument (closures bake weights into the HLO as constants)
     @jax.jit
-    def fn(fbank):
-        return model.apply({"params": params}, fbank)
+    def fn(p, fbank):
+        return model.apply({"params": p}, fbank)
 
-    return fn
+    return lambda fbank: fn(params, fbank)
 
 
 def make_s3_fn(params) -> Callable:
@@ -216,7 +217,7 @@ def make_s3_fn(params) -> Callable:
     model = S3TokenizerV3()
 
     @jax.jit
-    def fn(mel, mel_len):
-        return model.apply({"params": params}, mel, mel_len)
+    def fn(p, mel, mel_len):
+        return model.apply({"params": p}, mel, mel_len)
 
-    return fn
+    return lambda mel, mel_len: fn(params, mel, mel_len)

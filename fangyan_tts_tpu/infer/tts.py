@@ -11,14 +11,14 @@ Behavioral reference: cosyvoice/cli/model.py — CosyVoice3Model
 - speed change via linear mel interpolation, offline only (:437-438)
 
 TPU-first differences from the reference's thread+queue design:
-- no llm_job thread / uuid session dicts: sessions are explicit `TTSSession`
-  pytrees; the decode loop is a single jitted while_loop per LLM call.
-- offline mode decodes the whole utterance in ONE device call; streaming
-  mode decodes in hop-sized device calls (generate_speech_tokens with small
-  max_new_tokens per call, resuming from the same KV cache... round 1 uses
-  full-decode + chunked token2wav, which yields identical audio with
-  first-chunk latency = full LLM time; incremental LLM chunking lands with
-  the serving layer).
+- no llm_job thread / uuid session dicts: decode state is an explicit
+  resumable pytree (models/llm.py DecodeState).
+- offline mode decodes the whole utterance in ONE device call (fixed-length
+  scan); streaming mode interleaves 32-step `decode_chunk` device calls with
+  chunked token2wav, so first-chunk latency ~= one prefill + two decode
+  chunks + one flow/vocoder chunk.
+- all jitted stage functions take params as ARGUMENTS (closures would bake
+  weights into the HLO as constants — hundreds of MB per program).
 """
 
 from __future__ import annotations
@@ -110,8 +110,8 @@ class CosyVoice3TTS:
 
         min_len = int(len(text_tokens) * min_token_text_ratio)
         max_len = int(len(text_tokens) * max_token_text_ratio)
-        max_new = max(_round_up(max(max_len, 1), 128), 128)
-        cache_len = _round_up(tp + max_new, 128)
+        max_new = max(_round_up(max(max_len, 1), 64), 64)
+        cache_len = _round_up(tp + max_new, 64)
 
         res = generate_speech_tokens(
             self.llm, self.llm_params,
@@ -125,16 +125,38 @@ class CosyVoice3TTS:
     # ---- stage 2+3: token -> wav --------------------------------------------
 
     def _flow_fn(self, n_tokens: int, streaming: bool, finalize: bool):
+        """Two jitted stages (prepare, euler-solve) instead of one combined
+        program: the combined graph wedges the remote-compile service while
+        the split pieces compile in seconds; results are identical."""
         key = (n_tokens, streaming, finalize)
         if key not in self._flow_jit:
-            flow, params = self.flow, self.flow_params
+            from ..models.flow import CausalMaskedDiffWithDiT as _F
+            from ..models.flow import cfm_solve, fixed_cfm_noise
+
+            flow = self.flow
+            fcfg = self.cfg.flow
+
+            # CRITICAL: params are jit ARGUMENTS, never closures — closed-over
+            # arrays get baked into the HLO as constants, ballooning the
+            # program to hundreds of MB (the remote compile service rejects
+            # it with HTTP 413 or hangs for tens of minutes).
+            @jax.jit
+            def prep(p, token, token_len, prompt_feat, prompt_feat_len, embedding):
+                return flow.apply(
+                    {"params": p}, token, token_len, prompt_feat, prompt_feat_len, embedding,
+                    finalize=finalize, method=_F.prepare_inference,
+                )
 
             @jax.jit
+            def solve(p, z, mu, spks, conds, mel_len):
+                return cfm_solve(fcfg, p, z, mu, spks, conds, mel_len, streaming)
+
             def fn(token, token_len, prompt_feat, prompt_feat_len, embedding):
-                return flow_inference(
-                    flow, params, token, token_len, prompt_feat, prompt_feat_len, embedding,
-                    streaming=streaming, finalize=finalize,
-                )
+                mu, spks, conds, mel_len = prep(self.flow_params, token, token_len, prompt_feat, prompt_feat_len, embedding)
+                l_mel = mu.shape[1]
+                noise = jnp.asarray(fixed_cfm_noise()[:, :l_mel, :], mu.dtype)
+                z = jnp.broadcast_to(noise, (mu.shape[0], l_mel, fcfg.output_size)).astype(mu.dtype)
+                return solve(self.flow_params["estimator"], z, mu, spks, conds, mel_len)
 
             self._flow_jit[key] = fn
         return self._flow_jit[key]
@@ -142,13 +164,13 @@ class CosyVoice3TTS:
     def _hift_fn(self, n_mel: int, finalize: bool):
         key = (n_mel, finalize)
         if key not in self._hift_jit:
-            hift, params = self.hift, self.hift_params
+            hift = self.hift
 
             @jax.jit
-            def fn(mel):
-                return hift.apply({"params": params}, mel, finalize=finalize)[0]
+            def jitted(p, mel):
+                return hift.apply({"params": p}, mel, finalize=finalize)[0]
 
-            self._hift_jit[key] = fn
+            self._hift_jit[key] = lambda mel: jitted(self.hift_params, mel)
         return self._hift_jit[key]
 
     def token2mel(
@@ -191,17 +213,16 @@ class CosyVoice3TTS:
         speed: float = 1.0,
         **kwargs,
     ) -> Generator[dict, None, None]:
-        if source_speech_token.shape[0] == 0:
-            tokens = self.generate_tokens(text, prompt_text, llm_prompt_speech_token)
-        else:
-            tokens = np.asarray(source_speech_token, np.int32)  # vc_job (model.py:131-133)
-
         c = self.cfg
         hop = c.chunk_size  # 25
         la = c.flow.pre_lookahead_len  # 3
         ratio = c.token_mel_ratio
 
         if not stream:
+            if source_speech_token.shape[0] == 0:
+                tokens = self.generate_tokens(text, prompt_text, llm_prompt_speech_token)
+            else:
+                tokens = np.asarray(source_speech_token, np.int32)  # vc_job (model.py:131-133)
             mel = self.token2mel(tokens, flow_prompt_speech_token, prompt_speech_feat, flow_embedding)
             if speed != 1.0:
                 mel = _interp_mel(mel, int(mel.shape[0] / speed))
@@ -209,13 +230,27 @@ class CosyVoice3TTS:
             yield {"tts_speech": audio}
             return
 
-        # streaming: first hop absorbs prompt padding to a hop boundary
+        # streaming: LLM decodes incrementally (decode_chunk device calls)
+        # interleaved with chunked token2wav; first hop absorbs prompt
+        # padding to a hop boundary (model.py:342-377 semantics).
+        if source_speech_token.shape[0] == 0:
+            token_iter = self._stream_tokens(text, prompt_text, llm_prompt_speech_token)
+        else:
+            token_iter = iter([np.asarray(source_speech_token, np.int32)])
+
         prompt_pad = _round_up(len(flow_prompt_speech_token), hop) - len(flow_prompt_speech_token)
+        tokens = np.zeros(0, np.int32)
+        llm_done = False
         token_offset = 0
         emitted_mel = np.zeros((0, 80), np.float32)
         speech_offset = 0
         while True:
             this_hop = hop + prompt_pad if token_offset == 0 else hop
+            while len(tokens) - token_offset < this_hop + la and not llm_done:
+                try:
+                    tokens = np.concatenate([tokens, next(token_iter)])
+                except StopIteration:
+                    llm_done = True
             if len(tokens) - token_offset >= this_hop + la:
                 chunk_tokens = tokens[: token_offset + this_hop + la]
                 mel = self.token2mel(
@@ -229,13 +264,60 @@ class CosyVoice3TTS:
                 chunk_audio = audio[speech_offset:]
                 speech_offset += len(chunk_audio)
                 yield {"tts_speech": chunk_audio}
-            else:
+            elif llm_done:
                 break
         mel = self.token2mel(tokens, flow_prompt_speech_token, prompt_speech_feat, flow_embedding,
                              streaming=True, finalize=True)
         emitted_mel = np.concatenate([emitted_mel, mel[token_offset * ratio :]], axis=0)
         audio = self.vocode(emitted_mel, finalize=True)
         yield {"tts_speech": audio[speech_offset:]}
+
+    def _stream_tokens(
+        self,
+        text_tokens: np.ndarray,
+        prompt_text_tokens: np.ndarray,
+        prompt_speech_tokens: np.ndarray,
+        chunk_steps: int = 32,
+        min_token_text_ratio: float = 2.0,
+        max_token_text_ratio: float = 20.0,
+    ):
+        """Incremental LLM decode: yields np arrays of newly-emitted speech
+        tokens per device call (models/llm.py decode_prefill/decode_chunk)."""
+        from ..models.llm import decode_chunk, decode_prefill
+
+        c = self.cfg.llm
+        full_text = np.concatenate([prompt_text_tokens, text_tokens]).astype(np.int32)
+        plan = build_prompt_plan(c, full_text.tolist(), np.asarray(prompt_speech_tokens, np.int32).tolist())
+        tp = _round_up(len(plan.ids), 32)
+        batch = pad_plans_left([plan], length=tp)
+        min_len = int(len(text_tokens) * min_token_text_ratio)
+        max_len = int(len(text_tokens) * max_token_text_ratio)
+        cache_len = _round_up(tp + _round_up(max(max_len, 1), 128), 128)
+
+        state = decode_prefill(
+            self.llm, self.llm_params,
+            jnp.asarray(batch["src"]), jnp.asarray(batch["ids"]), jnp.asarray(batch["lengths"]),
+            jnp.asarray([min_len], jnp.int32), jnp.asarray([max_len], jnp.int32),
+            self.next_key(), cache_len=cache_len,
+        )
+        run = 0
+        silent = set(SILENT_TOKENS)
+        while not bool(state.done.all()) and int(state.i) < max_len:
+            state, chunk = decode_chunk(self.llm, self.llm_params, state, chunk_steps, tp)
+            emitted = np.asarray(chunk)[0]
+            emitted = emitted[emitted >= 0]
+            # silent-run suppression must be applied across chunk boundaries
+            out = []
+            for t in emitted.tolist():
+                if t in silent:
+                    run += 1
+                    if run > MAX_SILENT_RUN:
+                        continue
+                else:
+                    run = 0
+                out.append(t)
+            if out:
+                yield np.asarray(out, np.int32)
 
 
 def _cast_params(params: Any, dtype, keep_f32: tuple[str, ...] = ()) -> Any:

@@ -98,6 +98,33 @@ class CosyVoice3LM(nn.Module):
         return self.llm_decoder(h[:, 0]), cache
 
 
+class Qwen2LMV2(CosyVoice3LM):
+    """CosyVoice2 speech LM (llm.py:261-625): differs from v3 only in the
+    special-id layout — sos=0/task=1 live in a separate 2-row llm_embedding
+    table, head = speech_token_size + 3 WITH bias, stop ids = size+{0,1,2}.
+
+    Plan convention here: src==2 selects the llm_embedding table (ids 0/1);
+    data/lm_plan.py builders emit src==1 with v3 ids, so v2 plans are built
+    with `build_plan(cfg_v2, ...)` whose sos/task ids exceed head_size and
+    are remapped by the caller to (src=2, id=0/1)."""
+
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = nn.Embed(c.qwen.vocab_size, c.qwen.hidden_size, name="embed_tokens")
+        self.llm_embedding = nn.Embed(2, c.llm_input_size, name="llm_embedding")
+        self.speech_embedding = nn.Embed(c.head_size, c.llm_input_size, name="speech_embedding")
+        self.llm = q.Qwen2Model(c.qwen, name="llm")
+        self.llm_decoder = nn.Dense(c.head_size, use_bias=True, name="llm_decoder")
+
+    def embed_plan(self, src: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+        text_e = self.embed_tokens(jnp.clip(ids, 0, self.cfg.qwen.vocab_size - 1))
+        speech_e = self.speech_embedding(jnp.clip(ids, 0, self.cfg.head_size - 1))
+        special_e = self.llm_embedding(jnp.clip(ids, 0, 1))
+        out = jnp.where((src == 1)[..., None], speech_e, text_e)
+        out = jnp.where((src == 2)[..., None], special_e, out)
+        return out.astype(self.dtype)
+
+
 def label_smoothed_ce(logits: jnp.ndarray, targets: jnp.ndarray, smoothing: float, normalize_length: bool):
     """LabelSmoothingLoss equivalent (transformer/label_smoothing_loss.py):
     smoothed NLL summed over valid tokens, normalized by token count (or
@@ -123,6 +150,106 @@ def label_smoothed_ce(logits: jnp.ndarray, targets: jnp.ndarray, smoothing: floa
 class DecodeResult(NamedTuple):
     tokens: Any  # (B, max_new) int32; positions >= num_tokens are 0
     num_tokens: Any  # (B,) int32
+
+
+class DecodeState(NamedTuple):
+    """Resumable decode state for chunked (streaming) generation."""
+
+    cache: Any
+    logits: Any  # (B, V) logits for the NEXT token
+    recent: Any  # (B, win) RAS window
+    done: Any  # (B,) bool
+    counts: Any  # (B,) emitted token counts
+    i: Any  # scalar int32 decode step
+    key: Any
+    prompt_lens: Any  # (B,)
+    start_slots: Any  # (B,)
+    min_lens: Any
+    max_lens: Any
+
+
+@partial(jax.jit, static_argnames=("model", "cache_len"))
+def decode_prefill(
+    model: CosyVoice3LM,
+    params: Any,
+    src: jnp.ndarray,
+    ids: jnp.ndarray,
+    prompt_lens: jnp.ndarray,
+    min_lens: jnp.ndarray,
+    max_lens: jnp.ndarray,
+    key: jax.Array,
+    cache_len: int,
+) -> DecodeState:
+    """Prefill-only device call; returns a resumable DecodeState."""
+    c: LLMConfig = model.cfg
+    b, tp = ids.shape
+    bound = model.bind({"params": params})
+    cache = q.init_cache(c.qwen, b, cache_len, dtype=jnp.bfloat16)
+    last_h, cache = bound.prefill_leftpad(src, ids, prompt_lens, cache)
+    return DecodeState(
+        cache=cache,
+        logits=bound.llm_decoder(last_h),
+        recent=jnp.full((b, c.win_size), -1, jnp.int32),
+        done=jnp.zeros((b,), bool),
+        counts=jnp.zeros((b,), jnp.int32),
+        i=jnp.asarray(0, jnp.int32),
+        key=key,
+        prompt_lens=prompt_lens.astype(jnp.int32),
+        start_slots=(tp - prompt_lens).astype(jnp.int32),
+        min_lens=min_lens.astype(jnp.int32),
+        max_lens=max_lens.astype(jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("model", "n_steps", "prompt_pad"))
+def decode_chunk(
+    model: CosyVoice3LM,
+    params: Any,
+    state: DecodeState,
+    n_steps: int,
+    prompt_pad: int,
+) -> tuple[DecodeState, jnp.ndarray]:
+    """Decode up to n_steps more tokens (scan). Returns (state, chunk
+    (B, n_steps) with -1 at non-emitted slots). One device call per
+    streaming hop — this is the true-incremental path the streaming TTS
+    loop uses (cli/model.py:342-358 analogue without the polling thread)."""
+    c: LLMConfig = model.cfg
+    b = state.logits.shape[0]
+    bound = model.bind({"params": params})
+    stop_start = c.speech_token_size
+    vocab = c.head_size
+
+    def sample(logits, i, recent, key):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ignore_eos = i < state.min_lens
+        non_stop = jnp.arange(vocab)[None, :] < stop_start
+        allowed = non_stop | ~ignore_eos[:, None]
+        keys = jax.random.split(key, b + 1)
+        toks = jax.vmap(
+            lambda k_, lp, rec, al: ras_sample(
+                k_, lp, rec, rec >= 0, al,
+                top_p=c.top_p, top_k=c.top_k, win_size=c.win_size, tau_r=c.tau_r,
+            )
+        )(keys[1:], logp, recent, allowed)
+        return toks, keys[0]
+
+    def body(carry, _):
+        st = carry
+        tok, key = sample(st.logits, st.i, st.recent, st.key)
+        is_stop = tok >= stop_start
+        emit = (~st.done) & (~is_stop) & (st.i < st.max_lens)
+        tok_clean = jnp.where(emit, tok, 0)
+        counts = st.counts + emit.astype(jnp.int32)
+        recent = jnp.where(emit[:, None], jnp.concatenate([st.recent[:, 1:], tok_clean[:, None]], axis=1), st.recent)
+        done = st.done | is_stop | (st.i + 1 >= st.max_lens)
+        positions = (st.prompt_lens + st.i)[:, None]
+        end = prompt_pad + st.i + 1
+        logits, cache = bound.decode_step(tok_clean, positions, st.start_slots, end, st.cache)
+        new_st = st._replace(cache=cache, logits=logits, recent=recent, done=done, counts=counts, i=st.i + 1, key=key)
+        return new_st, jnp.where(emit, tok_clean, -1)
+
+    state, toks = jax.lax.scan(body, state, None, length=n_steps)
+    return state, toks.T  # (B, n_steps)
 
 
 @partial(jax.jit, static_argnames=("model", "max_new_tokens", "cache_len"))
