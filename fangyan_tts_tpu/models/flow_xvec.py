@@ -144,6 +144,83 @@ class CausalMaskedDiffWithXvec(nn.Module):
         return se / (jnp.sum(mask) * d), {}
 
 
+class MaskedDiffWithXvec(nn.Module):
+    """CosyVoice1 flow (flow.py:24-145): token embed -> ConformerEncoder ->
+    proj 80 -> InterpolateRegulator (token rate -> mel rate) -> U-Net CFM.
+    Hyperparameters default to conf/cosyvoice.yaml:63-101."""
+
+    vocab_size: int = 4096
+    input_size: int = 512
+    output_size: int = 80
+    spk_embed_dim: int = 192
+    input_frame_rate: int = 50
+    n_timesteps: int = 10
+    inference_cfg_rate: float = 0.7
+    sigma_min: float = 1e-6
+    decoder_channels: tuple = (256, 256)
+    num_mid_blocks: int = 12
+    n_blocks: int = 4
+    num_heads: int = 8
+    mel_rate: float = 50.0  # 22050/256 in the v1 recipe; ratio handled by caller
+
+    def setup(self):
+        self.input_embedding = nn.Embed(self.vocab_size, self.input_size, name="input_embedding")
+        self.spk_embed_affine_layer = nn.Dense(self.output_size, name="spk_embed_affine_layer")
+        self.encoder = ConformerEncoder(
+            dim=self.input_size, heads=8, ffn_hidden=2048, num_blocks=6, macaron=False, use_cnn=False, name="encoder",
+        )
+        self.encoder_proj = nn.Dense(self.output_size, name="encoder_proj")
+        self.length_regulator = InterpolateRegulator(self.output_size, name="length_regulator")
+        self.estimator = ConditionalDecoder(
+            in_channels=320, out_channels=self.output_size, channels=self.decoder_channels,
+            n_blocks=self.n_blocks, num_mid_blocks=self.num_mid_blocks, num_heads=self.num_heads,
+            causal=False, name="estimator",
+        )
+
+    def prepare_inference(self, token, token_len, prompt_feat, prompt_feat_len, embedding, mel_len: int):
+        """Returns (mu (B, mel_len, 80), spks, conds, lens)."""
+        emb = embedding / jnp.maximum(jnp.linalg.norm(embedding, axis=1, keepdims=True), 1e-12)
+        spks = self.spk_embed_affine_layer(emb)
+        l = token.shape[1]
+        valid = jnp.arange(l)[None, :] < token_len[:, None]
+        h = self.input_embedding(jnp.clip(token, 0, None)) * valid[..., None].astype(jnp.float32)
+        h, _ = self.encoder(h, token_len)
+        h = self.encoder_proj(h)
+        mu = self.length_regulator(h, mel_len)
+        b = mu.shape[0]
+        pf = prompt_feat.astype(mu.dtype)
+        if pf.shape[1] < mel_len:
+            pf = jnp.pad(pf, ((0, 0), (0, mel_len - pf.shape[1]), (0, 0)))
+        else:
+            pf = pf[:, :mel_len]
+        pos = jnp.arange(mel_len)[None, :, None]
+        conds = jnp.where(pos < prompt_feat_len[:, None, None], pf, 0.0)
+        lens = jnp.full((b,), mel_len, jnp.int32)
+        return mu, spks, conds, lens
+
+    def __call__(self, token, token_len, feat, feat_len, embedding, rngs_key):
+        """Training CFM loss (flow.py:62-99 + flow_matching.py:155-193)."""
+        k_t, k_z, k_cfg, k_cond, k_condlen = jax.random.split(rngs_key, 5)
+        mel_len = feat.shape[1]
+        mu, spks, _, _ = self.prepare_inference(token, token_len, feat, feat_len, embedding, mel_len)
+        b, l_mel, d = feat.shape
+        mask = (jnp.arange(l_mel)[None, :] < feat_len[:, None])[..., None].astype(feat.dtype)
+
+        use_cond = jax.random.bernoulli(k_cond, 0.5, (b,))
+        cond_len = (jax.random.uniform(k_condlen, (b,)) * 0.3 * feat_len.astype(jnp.float32)).astype(jnp.int32)
+        pos = jnp.arange(l_mel)[None, :]
+        conds = feat * ((pos < cond_len[:, None]) & use_cond[:, None])[..., None].astype(feat.dtype)
+
+        t = jax.random.uniform(k_t, (b,), feat.dtype)
+        z = jax.random.normal(k_z, feat.shape, feat.dtype)
+        y = (1 - (1 - self.sigma_min) * t[:, None, None]) * z + t[:, None, None] * feat
+        u = feat - (1 - self.sigma_min) * z
+        keep = (jax.random.uniform(k_cfg, (b,)) > 0.2).astype(feat.dtype)
+        pred = self.estimator(y, mu * keep[:, None, None], t, spks * keep[:, None], conds * keep[:, None, None], feat_len)
+        se = jnp.sum(((pred - u) * mask) ** 2)
+        return se / (jnp.sum(mask) * d), {}
+
+
 def xvec_flow_inference(
     model: CausalMaskedDiffWithXvec,
     params,

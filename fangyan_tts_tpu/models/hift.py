@@ -119,12 +119,31 @@ class CausalConvUp(nn.Module):
         return conv1d(x, k.astype(x.dtype), b.astype(x.dtype), padding=(self.kernel - 1, 0))
 
 
+class PlainConv(nn.Module):
+    """Symmetric-padding conv (the non-causal HiFT's Conv1d w/ get_padding)."""
+
+    in_ch: int
+    out_ch: int
+    kernel: int
+    dilation: int = 1
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", nn.initializers.lecun_normal(), (self.kernel, self.in_ch, self.out_ch))
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        pad = (self.kernel * self.dilation - self.dilation) // 2
+        return conv1d(x, k.astype(x.dtype), b.astype(x.dtype), stride=self.stride, padding=pad, dilation=self.dilation)
+
+
 class ResBlock(nn.Module):
-    """HiFiGAN/BigVGAN residual block, causal variant (generator.py:45-118)."""
+    """HiFiGAN/BigVGAN residual block (generator.py:45-118); causal flag
+    selects left-padded vs symmetric convs."""
 
     channels: int
     kernel: int
     dilations: tuple[int, ...]
+    causal: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -132,9 +151,15 @@ class ResBlock(nn.Module):
             a1 = self.param(f"alpha1_{di}", nn.initializers.ones, (self.channels,))
             a2 = self.param(f"alpha2_{di}", nn.initializers.ones, (self.channels,))
             xt = snake(x, a1.astype(x.dtype))
-            xt = CausalConv(self.channels, self.channels, self.kernel, dilation=d, side="left", name=f"convs1_{di}")(xt)
+            if self.causal:
+                xt = CausalConv(self.channels, self.channels, self.kernel, dilation=d, side="left", name=f"convs1_{di}")(xt)
+            else:
+                xt = PlainConv(self.channels, self.channels, self.kernel, dilation=d, name=f"convs1_{di}")(xt)
             xt = snake(xt, a2.astype(x.dtype))
-            xt = CausalConv(self.channels, self.channels, self.kernel, dilation=1, side="left", name=f"convs2_{di}")(xt)
+            if self.causal:
+                xt = CausalConv(self.channels, self.channels, self.kernel, dilation=1, side="left", name=f"convs2_{di}")(xt)
+            else:
+                xt = PlainConv(self.channels, self.channels, self.kernel, dilation=1, name=f"convs2_{di}")(xt)
             x = xt + x
         return x
 
@@ -205,6 +230,111 @@ class SourceModule(nn.Module):
 
         merged = nn.Dense(1, name="l_linear", dtype=sines.dtype)(sine_waves)
         return jnp.tanh(merged)  # (B, L*480, 1)
+
+
+class F0Predictor(nn.Module):
+    """Non-causal ConvRNNF0Predictor (f0_predictor.py:23-58): 5x k=3 pad=1
+    convs + ELU, linear head, abs."""
+
+    in_channels: int = 80
+    cond_channels: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        h = x
+        in_ch = self.in_channels
+        for i in range(5):
+            h = PlainConv(in_ch, self.cond_channels, 3, name=f"conv{i}")(h)
+            h = nn.elu(h)
+            in_ch = self.cond_channels
+        f0 = nn.Dense(1, name="classifier", dtype=h.dtype)(h)
+        return jnp.abs(f0[..., 0])
+
+
+class HiFT(nn.Module):
+    """Non-causal HiFTGenerator (generator.py:378-569) — the CosyVoice1/2
+    vocoder: conv_pre k7, ConvTranspose upsampling, reflection pad at the
+    last stage, symmetric-padded ResBlocks, SineGen source, iSTFT synthesis.
+
+    Streaming uses `cache_source` splicing (generator.py:557-569) handled by
+    the caller; here the module exposes the plain full forward.
+    """
+
+    cfg: HiFTConfig
+    seed: int = 0  # NSF phase/noise determinism
+
+    def setup(self):
+        c = self.cfg
+        self.f0_predictor = F0Predictor(c.in_channels, c.f0_cond_channels)
+        self.m_source = SourceModule(c)
+        self.conv_pre = PlainConv(c.in_channels, c.base_channels, 7)
+
+        ups, source_downs, source_res, res = [], [], [], []
+        down_rates = [1] + list(c.upsample_rates[::-1][:-1])
+        down_cum = list(np.cumprod(down_rates))[::-1]
+        nfft2 = c.istft_n_fft + 2
+        for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
+            ch_in = c.base_channels // (2**i)
+            ch_out = c.base_channels // (2 ** (i + 1))
+            ups.append((k, u, ch_in, ch_out))
+            du = int(down_cum[i])
+            if du == 1:
+                source_downs.append(PlainConv(nfft2, ch_out, 1, name=f"source_downs_{i}"))
+            else:
+                source_downs.append(PlainConv(nfft2, ch_out, du * 2, stride=du, name=f"source_downs_{i}"))
+            source_res.append(
+                ResBlock(ch_out, c.source_resblock_kernel_sizes[i], c.source_resblock_dilation_sizes[i], causal=False, name=f"source_resblocks_{i}")
+            )
+            for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)):
+                res.append(ResBlock(ch_out, rk, rd, causal=False, name=f"resblocks_{i}_{j}"))
+        self._up_shapes = ups
+        self.up_kernels = [
+            (self.param(f"ups_{i}_kernel", nn.initializers.lecun_normal(), (k, ch_out, ch_in)),
+             self.param(f"ups_{i}_bias", nn.initializers.zeros, (ch_out,)))
+            for i, (k, u, ch_in, ch_out) in enumerate(ups)
+        ]
+        self.source_downs = source_downs
+        self.source_resblocks = source_res
+        self.resblocks = res
+        self.conv_post = PlainConv(c.base_channels // (2 ** len(c.upsample_rates)), nfft2, 7)
+
+    def __call__(self, mel: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """mel: (B, L, 80) -> (audio (B, L*hop), source)."""
+        from ..ops.convs import conv_transpose1d
+
+        c = self.cfg
+        f0 = self.f0_predictor(mel.astype(jnp.float32))
+        s = self.m_source(f0).astype(mel.dtype)
+
+        win = jnp.asarray(hann_window(c.istft_n_fft))
+        s_real, s_imag = stft(s[..., 0], c.istft_n_fft, c.istft_hop_len, win, center=True)
+        s_stft = jnp.concatenate([s_real, s_imag], axis=1).transpose(0, 2, 1)
+
+        x = self.conv_pre(mel)
+        num_kernels = len(c.resblock_kernel_sizes)
+        for i, (k, u, ch_in, ch_out) in enumerate(self._up_shapes):
+            x = jax.nn.leaky_relu(x, negative_slope=c.lrelu_slope)
+            ker, bias = self.up_kernels[i]
+            x = conv_transpose1d(x, ker.astype(x.dtype), bias.astype(x.dtype), stride=u, padding=(k - u) // 2)
+            if i == len(self._up_shapes) - 1:
+                x = jnp.concatenate([x[:, 1:2], x], axis=1)  # ReflectionPad1d((1,0))
+            si = self.source_downs[i](s_stft)
+            si = self.source_resblocks[i](si)
+            n = min(x.shape[1], si.shape[1])
+            x = x[:, :n] + si[:, :n]
+            xs = None
+            for j in range(num_kernels):
+                r = self.resblocks[i * num_kernels + j](x)
+                xs = r if xs is None else xs + r
+            x = xs / num_kernels
+
+        x = jax.nn.leaky_relu(x, negative_slope=0.01)
+        x = self.conv_post(x)
+        nbins = c.istft_n_fft // 2 + 1
+        magnitude = jnp.clip(jnp.exp(x[..., :nbins].transpose(0, 2, 1)), max=1e2)
+        phase = jnp.sin(x[..., nbins:]).transpose(0, 2, 1)
+        audio = istft(magnitude * jnp.cos(phase), magnitude * jnp.sin(phase), c.istft_n_fft, c.istft_hop_len, win)
+        return jnp.clip(audio, -c.audio_limit, c.audio_limit), s
 
 
 class CausalHiFT(nn.Module):
