@@ -1,0 +1,170 @@
+"""GRPO reinforcement learning for the speech LM.
+
+Behavioral reference: examples/grpo/cosyvoice2 (veRL recipe, README reports
+zero_shot_zh CER 4.08% -> 3.36%): K rollouts per prompt, reward = negative
+ASR character-error-rate of the synthesized audio (reward_tts.py, scored by
+an external token2wav+ASR server), group-relative advantages, PPO-style
+clipped policy gradient with a KL penalty against the frozen reference
+policy.
+
+TPU-native shape: rollouts come from the batched scan decoder
+(models/llm.py generate_speech_tokens — K rollouts ride the batch dim), the
+update step is one pjit-able program; the reward is a host-side callable
+(ASR service client or any scorer).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import qwen2 as q
+from ..models.llm import CosyVoice3LM
+
+
+class GRPOConfig(NamedTuple):
+    group_size: int = 8  # rollouts per prompt
+    clip_eps: float = 0.2
+    kl_coef: float = 0.01
+    temperature: float = 1.0
+
+
+def sequence_logps(model: CosyVoice3LM, params, src, ids, lengths, prompt_lens, rollout_tokens, rollout_lens):
+    """Per-token logps of `rollout_tokens` under the model, teacher-forced.
+
+    src/ids: (B, Tp) right-padded prompt plans; rollout_tokens: (B, Tr).
+    Returns (B, Tr) logps with zeros past rollout_lens."""
+    c = model.cfg
+    b, tp = ids.shape
+    tr = rollout_tokens.shape[1]
+    bound = model.bind({"params": params})
+
+    # full sequence: prompt plan (right-padded) with the rollout spliced in
+    # right after each row's prompt end
+    pos = jnp.arange(tp + tr)[None, :]
+    roll_idx = pos - lengths[:, None]
+    in_roll = (roll_idx >= 0) & (roll_idx < rollout_lens[:, None])
+    in_prompt = pos < lengths[:, None]
+    padded_ids = jnp.concatenate([ids, jnp.zeros((b, tr), jnp.int32)], axis=1)
+    padded_src = jnp.concatenate([src, jnp.zeros((b, tr), jnp.int32)], axis=1)
+    gathered_roll = jnp.take_along_axis(rollout_tokens, jnp.clip(roll_idx, 0, tr - 1), axis=1)
+    full_ids = jnp.where(in_roll, gathered_roll, jnp.where(in_prompt, padded_ids, 0))
+    full_src = jnp.where(in_roll, 1, jnp.where(in_prompt, padded_src, 0))
+    total_len = lengths + rollout_lens
+
+    x = bound.embed_plan(full_src, full_ids)
+    t = x.shape[1]
+    positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
+    bias = q.prefill_attn_bias(t, total_len)
+    h, _ = bound.llm(x, positions, bias)
+    logits = bound.llm_decoder(h)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    # logp of rollout token k comes from position (lengths + k - 1)
+    tok_pos = (lengths[:, None] - 1 + jnp.arange(tr)[None, :]).astype(jnp.int32)
+    row_logp = jnp.take_along_axis(logp, tok_pos[..., None].clip(0, t - 1), axis=1)  # (B, Tr, V)
+    picked = jnp.take_along_axis(row_logp, rollout_tokens[..., None], axis=-1)[..., 0]
+    valid = jnp.arange(tr)[None, :] < rollout_lens[:, None]
+    return jnp.where(valid, picked, 0.0)
+
+
+def grpo_advantages(rewards: jnp.ndarray, group_size: int) -> jnp.ndarray:
+    """(N,) rewards with N = num_prompts*group_size -> group-normalized
+    advantages (the GRPO estimator)."""
+    g = rewards.reshape(-1, group_size)
+    mean = g.mean(axis=1, keepdims=True)
+    std = g.std(axis=1, keepdims=True)
+    return ((g - mean) / jnp.maximum(std, 1e-6)).reshape(-1)
+
+
+def make_grpo_step(
+    model: CosyVoice3LM,
+    ref_params: Any,
+    tx: optax.GradientTransformation,
+    cfg: GRPOConfig = GRPOConfig(),
+) -> Callable:
+    """Returns jitted step(state, batch) -> (state, metrics).
+
+    batch: src/ids/lengths (prompt plans, right-padded), rollout_tokens,
+    rollout_lens, old_logps (from the rollout policy), rewards (N,)."""
+
+    def loss_fn(params, batch):
+        logps = sequence_logps(
+            model, params, batch["src"], batch["ids"], batch["lengths"], batch["lengths"],
+            batch["rollout_tokens"], batch["rollout_lens"],
+        )
+        ref_logps = jax.lax.stop_gradient(
+            sequence_logps(
+                model, ref_params, batch["src"], batch["ids"], batch["lengths"], batch["lengths"],
+                batch["rollout_tokens"], batch["rollout_lens"],
+            )
+        )
+        adv = grpo_advantages(batch["rewards"], cfg.group_size)[:, None]
+        valid = (jnp.arange(batch["rollout_tokens"].shape[1])[None, :] < batch["rollout_lens"][:, None]).astype(jnp.float32)
+        n_tok = jnp.maximum(valid.sum(), 1.0)
+
+        ratio = jnp.exp(logps - batch["old_logps"])
+        clipped = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps)
+        pg = -jnp.minimum(ratio * adv, clipped * adv)
+        # k3 KL estimator (Schulman): exp(ref-pi) - (ref-pi) - 1
+        delta = ref_logps - logps
+        kl = jnp.exp(delta) - delta - 1.0
+        loss = jnp.sum((pg + cfg.kl_coef * kl) * valid) / n_tok
+        return loss, {
+            "pg_loss": jnp.sum(pg * valid) / n_tok,
+            "kl": jnp.sum(kl * valid) / n_tok,
+            "reward_mean": batch["rewards"].mean(),
+        }
+
+    @jax.jit
+    def step(state, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state._replace(step=state.step + 1, params=params, opt_state=opt_state), {"loss": loss, **aux}
+
+    return step
+
+
+def cer(ref: str, hyp: str) -> float:
+    """Character error rate (reward_tts.py scoring)."""
+    r, h = list(ref), list(hyp)
+    d = np.zeros((len(r) + 1, len(h) + 1), np.int32)
+    d[:, 0] = np.arange(len(r) + 1)
+    d[0, :] = np.arange(len(h) + 1)
+    for i in range(1, len(r) + 1):
+        for j in range(1, len(h) + 1):
+            d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1, d[i - 1, j - 1] + (r[i - 1] != h[j - 1]))
+    return d[-1, -1] / max(len(r), 1)
+
+
+class ASRRewardClient:
+    """Reward = -CER via an external ASR HTTP service (the reference's
+    token2wav_asr_server pattern, examples/grpo/cosyvoice2)."""
+
+    def __init__(self, url: str):
+        self.url = url
+
+    def __call__(self, wavs: list[np.ndarray], texts: list[str], sample_rate: int = 24000) -> np.ndarray:
+        import io
+        import json
+        import urllib.request
+        import wave as wave_mod
+
+        scores = []
+        for wav, text in zip(wavs, texts):
+            buf = io.BytesIO()
+            with wave_mod.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sample_rate)
+                w.writeframes((np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes())
+            req = urllib.request.Request(self.url, data=buf.getvalue(), headers={"Content-Type": "audio/wav"})
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                hyp = json.loads(resp.read()).get("text", "")
+            scores.append(-cer(text, hyp))
+        return np.asarray(scores, np.float32)

@@ -1,0 +1,60 @@
+"""GRPO training step tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fangyan_tts_tpu.config import LLMConfig, QwenConfig
+from fangyan_tts_tpu.models.llm import CosyVoice3LM
+from fangyan_tts_tpu.train import trainer
+from fangyan_tts_tpu.train.grpo import GRPOConfig, cer, grpo_advantages, make_grpo_step, sequence_logps
+from fangyan_tts_tpu.train.scheduler import build_optimizer
+from fangyan_tts_tpu.utils.init import fast_init
+
+CFG = LLMConfig(llm_input_size=64, llm_output_size=64, speech_token_size=50, extra_tokens=8,
+                qwen=QwenConfig(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                                num_attention_heads=4, num_key_value_heads=2, head_dim=16, vocab_size=300))
+
+
+def test_cer():
+    assert cer("你好世界", "你好世界") == 0.0
+    assert cer("你好世界", "你坏世界") == 0.25
+    assert cer("abc", "") == 1.0
+
+
+def test_grpo_advantages_group_relative():
+    r = jnp.asarray([1.0, 2.0, 3.0, 4.0, 10.0, 10.0, 10.0, 10.0])
+    a = np.asarray(grpo_advantages(r, 4))
+    np.testing.assert_allclose(a[:4].mean(), 0.0, atol=1e-6)
+    assert a[3] > a[0]
+    np.testing.assert_allclose(a[4:], 0.0, atol=1e-5)  # zero-variance group
+
+
+def test_grpo_step_runs_and_updates(rng):
+    model = CosyVoice3LM(CFG)
+    n, tp, tr = 4, 16, 8  # 2 prompts x group 2
+    src = jnp.asarray(rng.integers(0, 2, (n, tp)).astype(np.int32))
+    ids = jnp.asarray(rng.integers(0, 50, (n, tp)).astype(np.int32))
+    lengths = jnp.asarray([12, 12, 10, 10], jnp.int32)
+    roll = jnp.asarray(rng.integers(0, 50, (n, tr)).astype(np.int32))
+    roll_lens = jnp.asarray([8, 6, 8, 5], jnp.int32)
+    params = fast_init(model, 0, src, ids, lengths, jnp.zeros((n, tp), jnp.int32))
+    ref_params = jax.tree.map(lambda x: x.copy(), params)
+
+    old_logps = sequence_logps(model, params, src, ids, lengths, lengths, roll, roll_lens)
+    assert old_logps.shape == (n, tr)
+    # zero past rollout_lens
+    assert float(old_logps[1, 7]) == 0.0
+
+    batch = {"src": src, "ids": ids, "lengths": lengths, "rollout_tokens": roll,
+             "rollout_lens": roll_lens, "old_logps": old_logps,
+             "rewards": jnp.asarray([0.9, 0.1, 0.5, 0.2])}
+    tx = build_optimizer(lr=1e-3, scheduler="constantlr", accum_grad=1)
+    step = make_grpo_step(model, ref_params, tx, GRPOConfig(group_size=2))
+    state = trainer.init_state(params, tx)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    # at init ratio=1 and kl=0
+    np.testing.assert_allclose(float(m["kl"]), 0.0, atol=1e-5)
+    moved = max(jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), params, state.params)))
+    assert moved > 0
