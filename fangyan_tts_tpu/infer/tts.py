@@ -219,7 +219,22 @@ class CosyVoice3TTS:
         ratio = c.token_mel_ratio
 
         if not stream:
-            if source_speech_token.shape[0] == 0:
+            if hasattr(text, "__next__"):  # bistream text source, offline output
+                from .bistream import inference_bistream
+
+                tokens = np.asarray(
+                    list(
+                        inference_bistream(
+                            self.llm, self.llm_params, text,
+                            prompt_text=np.asarray(prompt_text, np.int32),
+                            prompt_speech=np.asarray(llm_prompt_speech_token, np.int32),
+                            key=self.next_key(),
+                        )
+                    ),
+                    np.int32,
+                )
+                tokens = suppress_silent_runs(tokens)
+            elif source_speech_token.shape[0] == 0:
                 tokens = self.generate_tokens(text, prompt_text, llm_prompt_speech_token)
             else:
                 tokens = np.asarray(source_speech_token, np.int32)  # vc_job (model.py:131-133)
@@ -233,7 +248,26 @@ class CosyVoice3TTS:
         # streaming: LLM decodes incrementally (decode_chunk device calls)
         # interleaved with chunked token2wav; first hop absorbs prompt
         # padding to a hop boundary (model.py:342-377 semantics).
-        if source_speech_token.shape[0] == 0:
+        if hasattr(text, "__next__"):  # bistream: text arrives as a generator
+            from .bistream import inference_bistream
+
+            def _bistream_iter():
+                buf = []
+                for tok in inference_bistream(
+                    self.llm, self.llm_params, text,
+                    prompt_text=np.asarray(prompt_text, np.int32),
+                    prompt_speech=np.asarray(llm_prompt_speech_token, np.int32),
+                    key=self.next_key(),
+                ):
+                    buf.append(tok)
+                    if len(buf) >= 8:
+                        yield np.asarray(buf, np.int32)
+                        buf = []
+                if buf:
+                    yield np.asarray(buf, np.int32)
+
+            token_iter = _bistream_iter()
+        elif source_speech_token.shape[0] == 0:
             token_iter = self._stream_tokens(text, prompt_text, llm_prompt_speech_token)
         else:
             token_iter = iter([np.asarray(source_speech_token, np.int32)])

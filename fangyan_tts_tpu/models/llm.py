@@ -98,6 +98,35 @@ class CosyVoice3LM(nn.Module):
         return self.llm_decoder(h[:, 0]), cache
 
 
+@partial(jax.jit, static_argnames=("model", "seg_len", "cache_len"))
+def bistream_append(
+    model: CosyVoice3LM,
+    params: Any,
+    cache: Any,
+    seq_pos: jnp.ndarray,  # scalar int32: absolute position of next slot
+    src: jnp.ndarray,  # (1, seg_len) exact (unpadded) plan segment
+    ids: jnp.ndarray,
+    seg_len: int,
+    cache_len: int,
+):
+    """Extend the contiguous decode context by an exact segment (bistream
+    text/speech chunks are fixed 5/15-token blocks, llm.py:560-580).
+    Returns (cache, last_logits (1, V), seq_pos + seg_len). Pass cache=None
+    to start a fresh stream (the [sos]-only prefix, llm.py:549)."""
+    bound = model.bind({"params": params})
+    if cache is None:
+        cache = q.init_cache(model.cfg.qwen, 1, cache_len, dtype=jnp.bfloat16)
+    x = bound.embed_plan(src, ids)
+    positions = seq_pos + jnp.arange(seg_len, dtype=jnp.int32)[None, :]
+    # causal over the contiguous cache: query j attends slots < index + j + 1
+    max_len = cache["k"].shape[2]
+    slot = jnp.arange(max_len, dtype=jnp.int32)[None, None, :]
+    qpos = cache["index"] + jnp.arange(seg_len, dtype=jnp.int32)[None, :, None]
+    bias = jnp.where(slot <= qpos, 0.0, -1e10).astype(jnp.float32)
+    h, cache = bound.llm(x.astype(cache["k"].dtype), positions, bias, cache)
+    return cache, bound.llm_decoder(h[:, -1]), seq_pos + seg_len
+
+
 class Qwen2LMV2(CosyVoice3LM):
     """CosyVoice2 speech LM (llm.py:261-625): differs from v3 only in the
     special-id layout — sos=0/task=1 live in a separate 2-row llm_embedding

@@ -61,12 +61,49 @@ def cosine_annealing(lr: float, total_steps: int, warmup_steps: int = 0, min_lr:
     )
 
 
+def noam_annealing(lr: float, warmup_steps: int = 25000, d_model: int = 896, **_) -> optax.Schedule:
+    """NoamAnnealing: d^-0.5 * min(s^-0.5, s*w^-1.5) scaled so peak == lr."""
+
+    def sched(step):
+        s = jnp.maximum(step.astype(jnp.float32), 1.0)
+        w = float(warmup_steps)
+        base = d_model**-0.5 * jnp.minimum(s**-0.5, s * w**-1.5)
+        peak = d_model**-0.5 * w**-0.5
+        return lr * base / peak
+
+    return sched
+
+
+def square_root_constant_lr(lr: float, constant_steps: int = 10000, **_) -> optax.Schedule:
+    """SquareRootConstantLR: constant lr = base/sqrt(constant_steps)."""
+
+    def sched(step):
+        return jnp.asarray(lr / float(constant_steps) ** 0.5, jnp.float32)
+
+    return sched
+
+
+def square_root_annealing(lr: float, warmup_steps: int = 0, min_lr: float = 0.0, total_steps: int = 1000000, **_) -> optax.Schedule:
+    """SquareRootAnnealing: warmup then lr * sqrt(1 - s/total)."""
+
+    def sched(step):
+        s = step.astype(jnp.float32)
+        warm = jnp.where(warmup_steps > 0, jnp.minimum(s / max(warmup_steps, 1), 1.0), 1.0)
+        frac = jnp.clip(1.0 - s / float(total_steps), 0.0, 1.0)
+        return jnp.maximum(lr * warm * jnp.sqrt(frac), min_lr)
+
+    return sched
+
+
 SCHEDULERS = {
     "warmuplr": warmup_lr,
     "constantlr": constant_lr,
     "NoamHoldAnnealing": noam_hold_annealing,
     "noamhold": noam_hold_annealing,
+    "noam": noam_annealing,
     "cosine": cosine_annealing,
+    "sqrt_constant": square_root_constant_lr,
+    "sqrt_annealing": square_root_annealing,
 }
 
 
