@@ -93,6 +93,38 @@ def main() -> None:
     hift_s = time.time() - t0
     log(f"hift: {hift_s:.3f}s for audio {audio.shape}")
 
+    # ---- diagnostics: batched extraction throughput (stage 1+2 targets)
+    try:
+        from fangyan_tts_tpu.models.campplus import CAMPPlus
+        from fangyan_tts_tpu.models.s3tokenizer import S3TokenizerV3
+        from fangyan_tts_tpu.ops.mel import kaldi_fbank, whisper_logmel
+        from fangyan_tts_tpu.utils.init import fast_init
+
+        camp, s3 = CAMPPlus(), S3TokenizerV3()
+        bf = lambda t: jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16) if x.ndim >= 2 else jnp.asarray(x), t)
+        cp = bf(fast_init(camp, 10, jnp.zeros((1, 98, 80))))
+        sp = bf(fast_init(s3, 11, jnp.zeros((1, 128, 100)), jnp.asarray([100])))
+        wav10 = jnp.asarray(rng.standard_normal((32, 160000)).astype(np.float32) * 0.1)
+
+        @jax.jit
+        def emb_fn(p, a):
+            f = kaldi_fbank(a)
+            f = f - jnp.mean(f, axis=1, keepdims=True)
+            return camp.apply({"params": p}, f.astype(jnp.bfloat16))
+
+        @jax.jit
+        def tok_fn(p, a):
+            m = whisper_logmel(a)
+            return s3.apply({"params": p}, m.astype(jnp.bfloat16), jnp.full((a.shape[0],), m.shape[2], jnp.int32))
+
+        np.asarray(emb_fn(cp, wav10).astype(jnp.float32))
+        t0 = time.time(); np.asarray(emb_fn(cp, wav10).astype(jnp.float32)); d1 = time.time() - t0
+        np.asarray(tok_fn(sp, wav10)[0])
+        t0 = time.time(); np.asarray(tok_fn(sp, wav10)[0]); d2 = time.time() - t0
+        log(f"extraction: campplus {32/d1:.0f} utt/s, s3 {32/d2:.0f} utt/s, stage1+2 {32/(d1+d2):.0f} utt/s/chip (10s utts)")
+    except Exception as e:  # noqa: BLE001
+        log(f"extraction diag skipped: {e}")
+
     total = llm_s + flow_s + hift_s
     rtf = total / audio_seconds
     baseline_rtf = 0.0891

@@ -39,9 +39,11 @@ def main(argv=None) -> None:
         print("⚠️ no converted CAM++ checkpoint given — using random init (embeddings are placeholders)")
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 98, 80)))["params"]
 
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16) if hasattr(x, "ndim") and x.ndim >= 2 else jnp.asarray(x), params)
+
     @jax.jit
     def _apply(p, fbank):
-        return model.apply({"params": p}, fbank)
+        return model.apply({"params": p}, fbank.astype(jnp.bfloat16)).astype(jnp.float32)
 
     def apply_fn(fbank, frame_len):
         return _apply(params, fbank)

@@ -35,9 +35,11 @@ def main(argv=None) -> None:
         print("⚠️ no converted S3 checkpoint given — using random init (tokens are placeholders)")
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 200)), jnp.asarray([200]))["params"]
 
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16) if hasattr(x, "ndim") and x.ndim >= 2 else jnp.asarray(x), params)
+
     @jax.jit
     def _apply(p, mel, mel_len):
-        return model.apply({"params": p}, mel, mel_len)
+        return model.apply({"params": p}, mel.astype(jnp.bfloat16), mel_len)
 
     def apply_fn(mel, mel_len):
         return _apply(params, mel, mel_len)

@@ -269,9 +269,14 @@ def synthesize_batch_http(items: list[TextItem], output_dir: str, qps: int) -> N
 # ---- TPU backend -------------------------------------------------------------
 
 
-def synthesize_batch_tpu(items: list[TextItem], output_dir: str, model_dir: str, prompt_wav_dir: str | None) -> None:
+def synthesize_batch_tpu(
+    items: list[TextItem], output_dir: str, model_dir: str, prompt_wav_dir: str | None, batch_size: int = 16,
+) -> None:
     """Batched on-TPU CosyVoice3 synthesis replacing the external API
-    (BASELINE.json config 5)."""
+    (BASELINE.json config 5): utterances ride the batch dim through
+    LLM/flow/vocoder in `batch_size` groups, bucketed by text length."""
+    import numpy as np
+
     from ..api import CosyVoice3
     from ..data.audio import write_wav
 
@@ -284,22 +289,35 @@ def synthesize_batch_tpu(items: list[TextItem], output_dir: str, model_dir: str,
         wav_dir = Path(output_dir) / dialect / "wavs"
         wav_dir.mkdir(parents=True, exist_ok=True)
         instruct = INSTRUCT_BY_DIALECT.get(dialect, "请用方言说。<|endofprompt|>")
-        prompt_wav = None
+        prompt_inputs: dict = {}
         if prompt_wav_dir:
             cand = Path(prompt_wav_dir) / f"{dialect}.wav"
             prompt_wav = str(cand if cand.exists() else Path(prompt_wav_dir) / "default.wav")
+            mi = model.frontend.frontend_instruct2("", instruct, prompt_wav)
+            prompt_inputs = {
+                "prompt_text": mi.get("prompt_text", np.zeros(0, np.int32)),
+                "flow_prompt_speech_token": mi.get("flow_prompt_speech_token", np.zeros(0, np.int32)),
+                "prompt_speech_feat": mi.get("prompt_speech_feat", np.zeros((0, 80), np.float32)),
+                "flow_embedding": mi.get("flow_embedding", np.zeros(192, np.float32)),
+            }
+        else:
+            prompt_inputs = {
+                "prompt_text": np.asarray(model.frontend.extract_text_token(instruct), np.int32),
+                "flow_embedding": np.zeros(192, np.float32),
+            }
+
+        todo = [it for it in dialect_items if not (wav_dir / f"{it.utt_id}.wav").exists()]
+        todo.sort(key=lambda it: len(it.text))  # length-bucket batches
         t0 = time.time()
         done = 0
-        for it in dialect_items:
-            out = wav_dir / f"{it.utt_id}.wav"
-            if out.exists():
-                continue
-            for result in model.inference_instruct2(it.text, instruct, prompt_wav):
-                write_wav(out, result["tts_speech"], model.sample_rate)
-                break
-            done += 1
-            if done % 50 == 0:
-                logger.info("[%s] %d/%d (%.2f utt/s)", dialect, done, len(dialect_items), done / (time.time() - t0))
+        for j in range(0, len(todo), batch_size):
+            chunk = todo[j : j + batch_size]
+            texts = [np.asarray(model.frontend.extract_text_token(it.text), np.int32) for it in chunk]
+            wavs = model.model.batch_synthesize(texts, **prompt_inputs)
+            for it, wav in zip(chunk, wavs):
+                write_wav(wav_dir / f"{it.utt_id}.wav", wav, model.sample_rate)
+            done += len(chunk)
+            logger.info("[%s] %d/%d (%.2f utt/s)", dialect, done, len(todo), done / (time.time() - t0))
         logger.info("[%s] 合成完成 %d 条", dialect, done)
 
 

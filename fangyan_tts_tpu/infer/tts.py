@@ -197,6 +197,107 @@ class CosyVoice3TTS:
         fn = self._hift_fn(mel.shape[0], finalize)
         return np.asarray(fn(jnp.asarray(mel, self.dtype)[None]).astype(jnp.float32))[0]
 
+    def batch_synthesize(
+        self,
+        texts: list[np.ndarray],
+        flow_embedding: np.ndarray,  # (192,) or (B, 192)
+        prompt_text: np.ndarray = np.zeros(0, np.int32),
+        llm_prompt_speech_token: np.ndarray = np.zeros(0, np.int32),
+        flow_prompt_speech_token: np.ndarray = np.zeros(0, np.int32),
+        prompt_speech_feat: np.ndarray = np.zeros((0, 80), np.float32),
+        min_token_text_ratio: float = 2.0,
+        max_token_text_ratio: float = 20.0,
+    ) -> list[np.ndarray]:
+        """Batched offline synthesis: B utterances ride the batch dim through
+        all three stages (the on-TPU dataset-generation backend,
+        BASELINE.json config 5). Returns B waveforms (trimmed per row)."""
+        b = len(texts)
+        plans = [
+            build_prompt_plan(
+                self.cfg.llm,
+                np.concatenate([prompt_text, t]).astype(np.int32).tolist(),
+                np.asarray(llm_prompt_speech_token, np.int32).tolist(),
+            )
+            for t in texts
+        ]
+        tp = _round_up(max(len(p.ids) for p in plans), 32)
+        batch = pad_plans_left(plans, length=tp)
+        min_lens = np.asarray([int(len(t) * min_token_text_ratio) for t in texts], np.int32)
+        max_lens = np.asarray([int(len(t) * max_token_text_ratio) for t in texts], np.int32)
+        max_new = max(_round_up(int(max_lens.max()), 64), 64)
+        cache_len = _round_up(tp + max_new, 64)
+
+        res = generate_speech_tokens(
+            self.llm, self.llm_params,
+            jnp.asarray(batch["src"]), jnp.asarray(batch["ids"]), jnp.asarray(batch["lengths"]),
+            jnp.asarray(min_lens), jnp.asarray(max_lens),
+            self.next_key(), max_new_tokens=max_new, cache_len=cache_len,
+        )
+        all_tokens = np.asarray(res.tokens)
+        counts = np.asarray(res.num_tokens)
+
+        # batched flow: pad token rows to a common bucket
+        fp = np.asarray(flow_prompt_speech_token, np.int32)
+        lt_max = _round_up(int(counts.max()) + len(fp), 32)
+        token = np.zeros((b, lt_max), np.int32)
+        token_len = np.zeros((b,), np.int32)
+        for i in range(b):
+            toks = suppress_silent_runs(all_tokens[i, : counts[i]])
+            row = np.concatenate([fp, toks])
+            token[i, : len(row)] = row
+            token_len[i] = len(row)
+        emb = np.asarray(flow_embedding, np.float32)
+        if emb.ndim == 1:
+            emb = np.broadcast_to(emb, (b, 192))
+        pf = np.asarray(prompt_speech_feat, np.float32)
+        pf_b = np.broadcast_to(pf[None], (b, *pf.shape)) if pf.ndim == 2 else pf
+
+        from ..models.flow import CausalMaskedDiffWithDiT as _F
+        from ..models.flow import cfm_solve, fixed_cfm_noise
+
+        @jax.jit
+        def prep(p, tok, tl, pfeat, pflen, e):
+            return self.flow.apply({"params": p}, tok, tl, pfeat, pflen, e,
+                                   finalize=True, method=_F.prepare_inference)
+
+        @jax.jit
+        def solve(p, z, mu, spks, conds, mel_len):
+            return cfm_solve(self.cfg.flow, p, z, mu, spks, conds, mel_len, False)
+
+        pflen = jnp.full((b,), pf.shape[0], jnp.int32)
+        mu, spks, conds, mel_len = prep(
+            self.flow_params, jnp.asarray(token), jnp.asarray(token_len),
+            jnp.asarray(pf_b, self.dtype), pflen, jnp.asarray(emb, self.dtype),
+        )
+        l_mel = mu.shape[1]
+        noise = jnp.asarray(fixed_cfm_noise()[:, :l_mel, :], mu.dtype)
+        z = jnp.broadcast_to(noise, (b, l_mel, 80)).astype(mu.dtype)
+        mel = solve(self.flow_params["estimator"], z, mu, spks, conds, mel_len)
+        mel = np.asarray(mel.astype(jnp.float32))
+
+        audio = self.vocode_batch(mel)
+        out = []
+        ratio = self.cfg.token_mel_ratio
+        hop = self.cfg.hift.total_upsample
+        p_mel = pf.shape[0]
+        for i in range(b):
+            n_tok = token_len[i] - len(fp)
+            start = (len(fp) * ratio) * hop
+            out.append(audio[i, start : start + n_tok * ratio * hop])
+        return out
+
+    def vocode_batch(self, mel: np.ndarray) -> np.ndarray:
+        key = ("batch", mel.shape[1])
+        if key not in self._hift_jit:
+            hift = self.hift
+
+            @jax.jit
+            def jitted(p, m):
+                return hift.apply({"params": p}, m, finalize=True)[0]
+
+            self._hift_jit[key] = lambda m: jitted(self.hift_params, m)
+        return np.asarray(self._hift_jit[key](jnp.asarray(mel, self.dtype)).astype(jnp.float32))
+
     # ---- public generator API (model.py:325-389 / :416-441) ----------------
 
     def tts(

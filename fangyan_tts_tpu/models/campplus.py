@@ -42,8 +42,9 @@ class BatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
         var = self.param("var", nn.initializers.ones, (self.features,))
-        inv = scale * jax.lax.rsqrt(var + self.eps)
-        return x * inv + (bias - mean * inv)
+        inv = (scale * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        shift = (bias - mean * scale * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        return x * inv + shift
 
 
 class TDNNLayer(nn.Module):
@@ -59,7 +60,7 @@ class TDNNLayer(nn.Module):
         pad = (self.kernel - 1) // 2 * self.dilation
         k = self.param("kernel", nn.initializers.lecun_normal(), (self.kernel, x.shape[-1], self.out_ch))
         b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
-        x = conv1d(x, k, b, stride=self.stride, padding=pad, dilation=self.dilation)
+        x = conv1d(x, k.astype(x.dtype), b.astype(x.dtype), stride=self.stride, padding=pad, dilation=self.dilation)
         x = nn.relu(x)
         return BatchNorm(self.out_ch, name="bn")(x)
 
@@ -80,15 +81,15 @@ class CAMLayer(nn.Module):
         pad = (self.kernel - 1) // 2 * self.dilation
         k_lin = self.param("linear_local_kernel", nn.initializers.lecun_normal(), (self.kernel, x.shape[-1], self.out_ch))
         b_lin = self.param("linear_local_bias", nn.initializers.zeros, (self.out_ch,))
-        y = conv1d(x, k_lin, b_lin, padding=pad, dilation=self.dilation)
+        y = conv1d(x, k_lin.astype(x.dtype), b_lin.astype(x.dtype), padding=pad, dilation=self.dilation)
 
         # context: global mean + segment mean
         ctx_g = jnp.mean(x, axis=1, keepdims=True)  # (B, 1, C)
         seg = self._seg_pool(x)  # (B, S, C) expanded back to (B, T, C)
         ctx = ctx_g + seg
-        h = nn.Dense(self.bn_channels // self.reduction, name="linear1")(ctx)
+        h = nn.Dense(self.bn_channels // self.reduction, name="linear1", dtype=x.dtype)(ctx)
         h = nn.relu(h)
-        m = jax.nn.sigmoid(nn.Dense(self.out_ch, name="linear2")(h))
+        m = jax.nn.sigmoid(nn.Dense(self.out_ch, name="linear2", dtype=x.dtype)(h))
         return y * m
 
     def _seg_pool(self, x):
@@ -114,7 +115,7 @@ class CAMDenseTDNNLayer(nn.Module):
     def __call__(self, x):  # (B, T, C_in)
         h = BatchNorm(x.shape[-1], name="bn1")(x)
         h = nn.relu(h)
-        h = nn.Dense(self.bn_channels, use_bias=False, name="linear1")(h)
+        h = nn.Dense(self.bn_channels, use_bias=False, name="linear1", dtype=h.dtype)(h)
         h = BatchNorm(self.bn_channels, name="bn2")(h)
         h = nn.relu(h)
         h = CAMLayer(self.bn_channels, self.out_ch, self.kernel, self.dilation, name="cam_layer")(h)
@@ -143,7 +144,7 @@ class TransitLayer(nn.Module):
     def __call__(self, x):
         x = BatchNorm(x.shape[-1], name="bn")(x)
         x = nn.relu(x)
-        return nn.Dense(self.out_ch, use_bias=False, name="linear")(x)
+        return nn.Dense(self.out_ch, use_bias=False, name="linear", dtype=x.dtype)(x)
 
 
 class FCM(nn.Module):
@@ -156,11 +157,11 @@ class FCM(nn.Module):
         x = fbank.transpose(0, 2, 1)[:, None]  # (B, 1, F, T)
         x = x.transpose(0, 2, 3, 1)  # (B, F, T, 1) NHWC
         m = self.m_channels
-        x = nn.Conv(m, (3, 3), strides=(2, 1), padding=1, use_bias=False, name="conv1")(x)
+        x = nn.Conv(m, (3, 3), strides=(2, 1), padding=1, use_bias=False, name="conv1", dtype=x.dtype)(x)
         x = BatchNorm(m, name="bn1")(x)
         x = nn.relu(x)
         x = self._res_block(x, m, "res1")
-        x = nn.Conv(m, (3, 3), strides=(2, 1), padding=1, use_bias=False, name="conv2")(x)
+        x = nn.Conv(m, (3, 3), strides=(2, 1), padding=1, use_bias=False, name="conv2", dtype=x.dtype)(x)
         x = BatchNorm(m, name="bn2")(x)
         x = nn.relu(x)
         x = self._res_block(x, m, "res2")
@@ -168,10 +169,10 @@ class FCM(nn.Module):
         return x.transpose(0, 2, 1, 3).reshape(b, t, f * c)  # (B, T, F/4 * m)
 
     def _res_block(self, x, ch, name):
-        h = nn.Conv(ch, (3, 3), padding=1, use_bias=False, name=f"{name}_conv1")(x)
+        h = nn.Conv(ch, (3, 3), padding=1, use_bias=False, name=f"{name}_conv1", dtype=x.dtype)(x)
         h = BatchNorm(ch, name=f"{name}_bn1")(h)
         h = nn.relu(h)
-        h = nn.Conv(ch, (3, 3), padding=1, use_bias=False, name=f"{name}_conv2")(h)
+        h = nn.Conv(ch, (3, 3), padding=1, use_bias=False, name=f"{name}_conv2", dtype=x.dtype)(h)
         h = BatchNorm(ch, name=f"{name}_bn2")(h)
         return nn.relu(h + x)
 
@@ -204,5 +205,5 @@ class CAMPPlus(nn.Module):
         mean = jnp.mean(x, axis=1)
         std = jnp.sqrt(jnp.clip(jnp.mean(x * x, axis=1) - mean * mean, min=1e-7))
         stats = jnp.concatenate([mean, std], axis=-1)
-        emb = nn.Dense(self.embedding_size, name="embedding")(stats)
+        emb = nn.Dense(self.embedding_size, name="embedding", dtype=x.dtype)(stats)
         return emb

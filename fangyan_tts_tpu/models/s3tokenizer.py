@@ -46,9 +46,9 @@ class EncoderBlock(nn.Module):
     def __call__(self, x, pad_bias):
         d = self.dim
         h = nn.LayerNorm(name="attn_ln")(x)
-        q = nn.Dense(d, name="q")(h)
-        k = nn.Dense(d, use_bias=False, name="k")(h)
-        v = nn.Dense(d, name="v")(h)
+        q = nn.Dense(d, name="q", dtype=x.dtype)(h)
+        k = nn.Dense(d, use_bias=False, name="k", dtype=x.dtype)(h)
+        v = nn.Dense(d, name="v", dtype=x.dtype)(h)
         b, t, _ = x.shape
         hd = d // self.heads
         q = q.reshape(b, t, self.heads, hd)
@@ -58,12 +58,12 @@ class EncoderBlock(nn.Module):
         scores = scores + pad_bias[:, None, None, :]
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, d)
-        x = x + nn.Dense(d, name="out")(o)
+        x = x + nn.Dense(d, name="out", dtype=x.dtype)(o)
 
         h = nn.LayerNorm(name="mlp_ln")(x)
-        h = nn.Dense(d * 4, name="mlp_0")(h)
+        h = nn.Dense(d * 4, name="mlp_0", dtype=x.dtype)(h)
         h = nn.gelu(h, approximate=False)
-        x = x + nn.Dense(d, name="mlp_2")(h)
+        x = x + nn.Dense(d, name="mlp_2", dtype=x.dtype)(h)
         return x
 
 
@@ -77,7 +77,7 @@ class FSQ(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (B, T, D)
-        h = nn.Dense(self.num_dims, name="project_down")(x)
+        h = nn.Dense(self.num_dims, name="project_down", dtype=jnp.float32)(x.astype(jnp.float32))  # FSQ rounding in f32
         half = (self.levels - 1) / 2.0
         bounded = jnp.tanh(h) * half  # in [-half, half]
         q = jnp.round(bounded) + half  # {0..levels-1}
@@ -102,13 +102,13 @@ class S3TokenizerV3(nn.Module):
         x = mel.transpose(0, 2, 1)  # (B, T, 128)
         k1 = self.param("conv1_kernel", nn.initializers.lecun_normal(), (3, self.n_mels, self.dim))
         b1 = self.param("conv1_bias", nn.initializers.zeros, (self.dim,))
-        x = nn.gelu(conv1d(x, k1, b1, padding=1), approximate=False)
+        x = nn.gelu(conv1d(x, k1.astype(x.dtype), b1.astype(x.dtype), padding=1), approximate=False)
         k2 = self.param("conv2_kernel", nn.initializers.lecun_normal(), (3, self.dim, self.dim))
         b2 = self.param("conv2_bias", nn.initializers.zeros, (self.dim,))
-        x = nn.gelu(conv1d(x, k2, b2, stride=2, padding=1), approximate=False)  # 50 Hz
+        x = nn.gelu(conv1d(x, k2.astype(x.dtype), b2.astype(x.dtype), stride=2, padding=1), approximate=False)  # 50 Hz
 
         t50 = x.shape[1]
-        pos = jnp.asarray(sinusoids(t50, self.dim))
+        pos = jnp.asarray(sinusoids(t50, self.dim), x.dtype)
         x = x + pos[None]
 
         len50 = (mel_len + 1) // 2
@@ -120,7 +120,7 @@ class S3TokenizerV3(nn.Module):
         # 50 Hz -> 25 Hz stride-2 conv
         k3 = self.param("conv3_kernel", nn.initializers.lecun_normal(), (3, self.dim, self.dim))
         b3 = self.param("conv3_bias", nn.initializers.zeros, (self.dim,))
-        x = nn.gelu(conv1d(x, k3, b3, stride=2, padding=1), approximate=False)  # 25 Hz
+        x = nn.gelu(conv1d(x, k3.astype(x.dtype), b3.astype(x.dtype), stride=2, padding=1), approximate=False)  # 25 Hz
 
         codes, _ = FSQ(self.dim, name="fsq")(x)
         code_len = (len50 + 1) // 2
