@@ -81,8 +81,8 @@ class FSQ(nn.Module):
         half = (self.levels - 1) / 2.0
         bounded = jnp.tanh(h) * half  # in [-half, half]
         q = jnp.round(bounded) + half  # {0..levels-1}
-        basis = (self.levels ** np.arange(self.num_dims)).astype(np.int64)
-        codes = jnp.sum(q.astype(jnp.int64) * jnp.asarray(basis)[None, None, :], axis=-1)
+        basis = (self.levels ** np.arange(self.num_dims)).astype(np.int32)
+        codes = jnp.sum(q.astype(jnp.int32) * jnp.asarray(basis)[None, None, :], axis=-1)
         return codes.astype(jnp.int32), bounded
 
 
