@@ -183,19 +183,40 @@ class CosyVoice3TTS:
         finalize: bool = True,
     ) -> np.ndarray:
         """flow.inference call (token2wav's first half, model.py:418-428):
-        returns ONLY the non-prompt mel region, (L, 80)."""
-        full = np.concatenate([prompt_tokens, tokens]).astype(np.int32)[None]
-        token_len = jnp.asarray([full.shape[1]], jnp.int32)
+        returns ONLY the non-prompt mel region, (L, 80).
+
+        Token counts are padded to x32 buckets (true length masked inside
+        the flow) so arbitrary utterance lengths reuse a handful of XLA
+        programs instead of compiling per length."""
+        full = np.concatenate([prompt_tokens, tokens]).astype(np.int32)
+        true_len = len(full)
+        if finalize:  # streaming non-finalize shapes are hop-quantized already
+            bucket = _round_up(max(true_len, 1), 32)
+            full = np.pad(full, (0, bucket - true_len))
+        token_len = jnp.asarray([true_len], jnp.int32)
         pf = jnp.asarray(prompt_feat, self.dtype)[None]
         pf_len = jnp.asarray([prompt_feat.shape[0]], jnp.int32)
         emb = jnp.asarray(embedding, self.dtype)[None]
-        fn = self._flow_fn(full.shape[1], streaming, finalize)
-        mel = fn(jnp.asarray(full), token_len, pf, pf_len, emb)
-        return np.asarray(mel.astype(jnp.float32))[0, prompt_feat.shape[0] :]
+        fn = self._flow_fn(len(full), streaming, finalize)
+        mel = fn(jnp.asarray(full[None]), token_len, pf, pf_len, emb)
+        out = np.asarray(mel.astype(jnp.float32))[0, prompt_feat.shape[0] :]
+        n_valid = (true_len - len(prompt_tokens)) * self.cfg.token_mel_ratio
+        return out[:n_valid]
 
     def vocode(self, mel: np.ndarray, finalize: bool = True) -> np.ndarray:
+        """Bucketed causal vocoding: trailing zero-mel padding only perturbs
+        the last ~12 samples before the cut (iSTFT window overlap), which is
+        below perceptual relevance; earlier samples are exact (causal convs
+        + the same zero right-padding finalize itself applies)."""
+        true_len = mel.shape[0]
+        if finalize:
+            bucket = _round_up(max(true_len, 1), 64)
+            mel = np.pad(mel, ((0, bucket - true_len), (0, 0)))
         fn = self._hift_fn(mel.shape[0], finalize)
-        return np.asarray(fn(jnp.asarray(mel, self.dtype)[None]).astype(jnp.float32))[0]
+        audio = np.asarray(fn(jnp.asarray(mel, self.dtype)[None]).astype(jnp.float32))[0]
+        if finalize:
+            audio = audio[: true_len * self.cfg.hift.total_upsample]
+        return audio
 
     def batch_synthesize(
         self,
