@@ -193,7 +193,7 @@ class Frontend:
 
         path = str(path or self._spk2info_path or "spk2info.pt")
         torch.save(
-            {k: {kk: torch.from_numpy(np.asarray(vv)) for kk, vv in v.items()} for k, v in self.spk2info.items()},
+            {k: {kk: torch.from_numpy(np.array(vv, copy=True)) for kk, vv in v.items()} for k, v in self.spk2info.items()},
             path,
         )
 

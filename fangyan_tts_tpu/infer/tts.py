@@ -105,13 +105,13 @@ class CosyVoice3TTS:
         c = self.cfg.llm
         full_text = np.concatenate([prompt_text_tokens, text_tokens]).astype(np.int32)
         plan = build_prompt_plan(c, full_text.tolist(), prompt_speech_tokens.tolist())
-        tp = _round_up(len(plan.ids), 32)
+        tp = _round_up(len(plan.ids), 64)
         batch = pad_plans_left([plan], length=tp)
 
         min_len = int(len(text_tokens) * min_token_text_ratio)
         max_len = int(len(text_tokens) * max_token_text_ratio)
         max_new = max(_round_up(max(max_len, 1), 64), 64)
-        cache_len = _round_up(tp + max_new, 64)
+        cache_len = _round_up(tp + max_new, 128)
 
         res = generate_speech_tokens(
             self.llm, self.llm_params,
@@ -444,11 +444,12 @@ class CosyVoice3TTS:
         c = self.cfg.llm
         full_text = np.concatenate([prompt_text_tokens, text_tokens]).astype(np.int32)
         plan = build_prompt_plan(c, full_text.tolist(), np.asarray(prompt_speech_tokens, np.int32).tolist())
-        tp = _round_up(len(plan.ids), 32)
+        tp = _round_up(len(plan.ids), 64)
         batch = pad_plans_left([plan], length=tp)
         min_len = int(len(text_tokens) * min_token_text_ratio)
         max_len = int(len(text_tokens) * max_token_text_ratio)
-        cache_len = _round_up(tp + _round_up(max(max_len, 1), 128), 128)
+        # coarse cache bucket: nearby text lengths share one compiled program
+        cache_len = _round_up(tp + _round_up(max(max_len, 1), 256), 256)
 
         state = decode_prefill(
             self.llm, self.llm_params,

@@ -105,7 +105,7 @@ class CausalMaskedDiffWithDiT(nn.Module):
         (emb, valid_mask (B, L))."""
         l = token.shape[1]
         valid = (jnp.arange(l)[None, :] < token_len[:, None])
-        emb = self.input_embedding(jnp.clip(token, 0, None))
+        emb = self.input_embedding(jnp.clip(token, 0, self.cfg.vocab_size - 1))
         return emb * valid[..., None].astype(emb.dtype), valid
 
     def prepare_inference(

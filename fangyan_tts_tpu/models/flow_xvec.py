@@ -98,7 +98,7 @@ class CausalMaskedDiffWithXvec(nn.Module):
         spks = self.spk_embed_affine_layer(emb)
         l = token.shape[1]
         valid = jnp.arange(l)[None, :] < token_len[:, None]
-        h = self.input_embedding(jnp.clip(token, 0, None)) * valid[..., None].astype(jnp.float32)
+        h = self.input_embedding(jnp.clip(token, 0, self.vocab_size - 1)) * valid[..., None].astype(jnp.float32)
         if finalize:
             h, out_lens = self.encoder(h, token_len, streaming=streaming)
         else:
@@ -183,7 +183,7 @@ class MaskedDiffWithXvec(nn.Module):
         spks = self.spk_embed_affine_layer(emb)
         l = token.shape[1]
         valid = jnp.arange(l)[None, :] < token_len[:, None]
-        h = self.input_embedding(jnp.clip(token, 0, None)) * valid[..., None].astype(jnp.float32)
+        h = self.input_embedding(jnp.clip(token, 0, self.vocab_size - 1)) * valid[..., None].astype(jnp.float32)
         h, _ = self.encoder(h, token_len)
         h = self.encoder_proj(h)
         mu = self.length_regulator(h, mel_len)
