@@ -35,6 +35,10 @@ class QwenConfig:
     vocab_size: int = 151936
     max_position_embeddings: int = 32768
     tie_word_embeddings: bool = True
+    # Weight-only int8 serving mode: block Dense kernels stored int8 + scale
+    # (ops/quant.py). Halves decode HBM traffic; params must be converted
+    # with ops.quant.quantize_qwen_params.
+    quant_int8: bool = False
 
 
 @dataclass(frozen=True)

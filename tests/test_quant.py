@@ -1,0 +1,95 @@
+"""Weight-only int8 quantization (ops/quant.py + qwen2.QDense).
+
+The serving-side analogue of the reference TRT-LLM runtime's int8 mode
+(CosyVoice/runtime/triton_trtllm/README.md:120-124): params converted with
+quantize_qwen_params must drive the same decode graphs with near-identical
+outputs.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fangyan_tts_tpu.config import LLMConfig, QwenConfig
+from fangyan_tts_tpu.models import qwen2 as jq
+from fangyan_tts_tpu.models.llm import CosyVoice3LM, generate_speech_tokens
+from fangyan_tts_tpu.ops.quant import int8_dot, quantize_int8, quantize_qwen_params
+
+TINY = QwenConfig(
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+    vocab_size=256,
+    rope_theta=10000.0,
+)
+
+
+def test_int8_roundtrip_accuracy():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((64, 96), dtype=np.float32) * 0.05)
+    x = jnp.asarray(rng.standard_normal((4, 64), dtype=np.float32))
+    q, s = quantize_int8(w)
+    assert q.dtype == jnp.int8 and s.shape == (96,)
+    ref = x @ w
+    got = int8_dot(x, q, s)
+    # per-channel symmetric int8: matmul error a tiny fraction of signal scale
+    err = np.abs(np.asarray(got - ref))
+    assert err.max() / np.asarray(ref).std() < 0.02
+
+    # stacked (L, in, out) kernels quantize along the input axis
+    ws = jnp.stack([w, 2 * w])
+    qs, ss = quantize_int8(ws)
+    assert qs.shape == ws.shape and ss.shape == (2, 96)
+    np.testing.assert_allclose(np.asarray(ss[1]), 2 * np.asarray(ss[0]), rtol=1e-6)
+
+
+def test_qwen_quantized_forward_close():
+    model = jq.Qwen2Model(TINY)
+    qmodel = jq.Qwen2Model(dataclasses.replace(TINY, quant_int8=True))
+    rng = jax.random.PRNGKey(0)
+    b, t = 2, 12
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, TINY.hidden_size), jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+    bias = jnp.broadcast_to(jq.causal_attn_bias(t), (b, t, t))
+    params = model.init(rng, x, positions, bias)["params"]
+    qparams = quantize_qwen_params(params)
+
+    # converted pytree has int8 kernels + scales, no fp kernels in blocks
+    blk = qparams["layers"]["self_attn"]["q_proj"]
+    assert set(blk) == {"kernel_q", "scale", "bias"} and blk["kernel_q"].dtype == jnp.int8
+
+    h, _ = model.apply({"params": params}, x, positions, bias)
+    hq, _ = qmodel.apply({"params": qparams}, x, positions, bias)
+    h, hq = np.asarray(h, np.float64), np.asarray(hq, np.float64)
+    cos = (h * hq).sum() / (np.linalg.norm(h) * np.linalg.norm(hq))
+    assert cos > 0.999, cos
+
+
+def test_quantized_decode_runs():
+    cfg = LLMConfig(
+        llm_input_size=64,
+        speech_token_size=50,
+        qwen=TINY,
+    )
+    model = CosyVoice3LM(cfg, dtype=jnp.float32)
+    src = jnp.zeros((1, 8), jnp.int32)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    lens = jnp.asarray([8], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), src, ids, lens, jnp.zeros((1, 8), jnp.int32))["params"]
+    qparams = quantize_qwen_params(params)
+    qmodel = CosyVoice3LM(
+        dataclasses.replace(cfg, qwen=dataclasses.replace(TINY, quant_int8=True)), dtype=jnp.float32
+    )
+    res = generate_speech_tokens(
+        qmodel, qparams, src, ids, lens,
+        jnp.asarray([4], jnp.int32), jnp.asarray([16], jnp.int32),
+        jax.random.PRNGKey(7), max_new_tokens=16, cache_len=64,
+    )
+    n = int(res.num_tokens[0])
+    toks = np.asarray(res.tokens)[0, :n]
+    assert n >= 4 and (toks < cfg.speech_token_size).all() and (toks >= 0).all()
