@@ -7,10 +7,13 @@ RTF < 0.1/chip (BASELINE.md). vs_baseline = baseline_rtf / our_rtf (>1 ==
 faster than the reference pipeline).
 
 Benches the real pipeline object (infer/tts.py CosyVoice3TTS, bf16 compute,
-fp32 f0 path) with full-size architecture and random weights: LLM AR decode
-(single scan over a ring KV cache, 192-step bucket) -> flow CFM 10-step scan with CFG-batched
-DiT (22x1024) -> causal HiFT. Timings sync via np.asarray (block_until_ready
-returns early on the axon backend).
+weight-only int8 LLM kernels, fp32 f0 path) with full-size architecture and
+random weights: LLM AR decode (single scan over a ring KV cache, 192-step
+bucket) -> flow CFM 10-step scan with CFG-batched DiT (22x1024) -> causal
+HiFT. The headline number times the device-chained pipeline (tokens/mel
+stay on device; one final audio fetch), which is how the serving runtime
+drives it; per-stage timings sync via np.asarray (block_until_ready returns
+early on the axon backend).
 """
 
 from __future__ import annotations
@@ -41,7 +44,8 @@ def main() -> None:
 
     t0 = time.time()
     tts = CosyVoice3TTS.random_init(cfg, dtype=jnp.bfloat16)
-    log(f"init (fast_init all 3 models): {time.time() - t0:.1f}s")
+    tts.quantize_llm()  # weight-only int8 serving mode (ops/quant.py)
+    log(f"init (fast_init all 3 models, int8 llm): {time.time() - t0:.1f}s")
 
     # ---- workload: one utterance, 150 speech tokens = 6s of audio @25Hz
     n_tokens = 150
@@ -125,7 +129,33 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         log(f"extraction diag skipped: {e}")
 
-    total = llm_s + flow_s + hift_s
+    # ---- diagnostics: batched offline throughput (reference best: TRT-LLM
+    # bs16 + DiT token2wav, offline RTF 0.0292 on L20, README.DIT.md)
+    try:
+        texts16 = [rng.integers(0, 50000, (30,)).astype(np.int32) for _ in range(16)]
+        tts.batch_synthesize(texts16, emb, min_token_text_ratio=5.0, max_token_text_ratio=5.0)
+        t0 = time.time()
+        outs16 = tts.batch_synthesize(texts16, emb, min_token_text_ratio=5.0, max_token_text_ratio=5.0)
+        dt16 = time.time() - t0
+        a16 = sum(len(o) for o in outs16) / cfg.sample_rate
+        log(f"batched offline bs16: {dt16:.2f}s for {a16:.1f}s audio -> RTF {dt16 / a16:.4f}")
+    except Exception as e:  # noqa: BLE001
+        log(f"bs16 diag skipped: {e}")
+
+    # ---- chained end-to-end: llm -> flow -> hift all device-resident, one
+    # final audio fetch (how a serving process runs it; per-stage timings
+    # above each pay an extra host-sync roundtrip)
+    def run_e2e(k):
+        r = generate_speech_tokens(
+            tts.llm, tts.llm_params, *args, key=k, max_new_tokens=192, cache_len=256
+        )
+        mel_d = tts.token2mel(r.tokens[0, :n_tokens], prompt_tokens, prompt_feat, emb, device_out=True)
+        return tts.vocode(mel_d)
+
+    run_e2e(jax.random.PRNGKey(2))  # warm the chained program set
+    t0 = time.time()
+    audio = run_e2e(jax.random.PRNGKey(3))
+    total = time.time() - t0
     rtf = total / audio_seconds
     baseline_rtf = 0.0891
     print(json.dumps({
@@ -134,7 +164,10 @@ def main() -> None:
         "unit": "rtf",
         "vs_baseline": round(baseline_rtf / rtf, 3),
     }), flush=True)
-    log(f"total={total:.3f}s audio={audio_seconds:.1f}s rtf={rtf:.4f} (llm {llm_s:.2f} flow {flow_s:.2f} hift {hift_s:.2f})")
+    log(
+        f"total={total:.3f}s (chained) audio={audio_seconds:.1f}s rtf={rtf:.4f} "
+        f"(stage-timed: llm {llm_s:.2f} flow {flow_s:.2f} hift {hift_s:.2f})"
+    )
 
 
 if __name__ == "__main__":

@@ -197,46 +197,59 @@ class CosyVoice3TTS:
         self,
         tokens: np.ndarray,
         prompt_tokens: np.ndarray,
-        prompt_feat: np.ndarray,  # (Lp_mel, 80)
-        embedding: np.ndarray,  # (192,)
+        prompt_feat: np.ndarray,  # (Lp_mel, 80), np or device array
+        embedding: np.ndarray,  # (192,), np or device array
         streaming: bool = False,
         finalize: bool = True,
-    ) -> np.ndarray:
+        device_out: bool = False,
+    ) -> np.ndarray | jnp.ndarray:
         """flow.inference call (token2wav's first half, model.py:418-428):
         returns ONLY the non-prompt mel region, (L, 80).
 
         Token counts are padded to x32 buckets (true length masked inside
         the flow) so arbitrary utterance lengths reuse a handful of XLA
-        programs instead of compiling per length."""
-        full = np.concatenate([prompt_tokens, tokens]).astype(np.int32)
+        programs instead of compiling per length. With device_out the mel
+        stays on device (self.dtype) so downstream vocoding chains without
+        a host roundtrip — on the axon tunnel every sync costs ~26 ms."""
+        if isinstance(tokens, jax.Array):
+            # device tokens chain straight from the LLM decode result — no
+            # host fetch of the token row (static length from the shape)
+            full = jnp.concatenate(
+                [jnp.asarray(np.asarray(prompt_tokens, np.int32)), tokens.astype(jnp.int32)]
+            )
+        else:
+            full = np.concatenate([np.asarray(prompt_tokens), np.asarray(tokens)]).astype(np.int32)
         true_len = len(full)
         if finalize:  # streaming non-finalize shapes are hop-quantized already
             bucket = _round_up(max(true_len, 1), 32)
-            full = np.pad(full, (0, bucket - true_len))
+            pad_mod = jnp if isinstance(full, jax.Array) else np
+            full = pad_mod.pad(full, (0, bucket - true_len))
         token_len = jnp.asarray([true_len], jnp.int32)
         pf = jnp.asarray(prompt_feat, self.dtype)[None]
-        pf_len = jnp.asarray([prompt_feat.shape[0]], jnp.int32)
+        pf_len = jnp.asarray([pf.shape[1]], jnp.int32)
         emb = jnp.asarray(embedding, self.dtype)[None]
         fn = self._flow_fn(len(full), streaming, finalize)
         mel = fn(jnp.asarray(full[None]), token_len, pf, pf_len, emb)
-        out = np.asarray(mel.astype(jnp.float32))[0, prompt_feat.shape[0] :]
         n_valid = (true_len - len(prompt_tokens)) * self.cfg.token_mel_ratio
-        return out[:n_valid]
+        out = mel[0, pf.shape[1] : pf.shape[1] + n_valid]
+        return out if device_out else np.asarray(out.astype(jnp.float32))
 
-    def vocode(self, mel: np.ndarray, finalize: bool = True) -> np.ndarray:
+    def vocode(self, mel, finalize: bool = True, device_out: bool = False):
         """Bucketed causal vocoding: trailing zero-mel padding only perturbs
         the last ~12 samples before the cut (iSTFT window overlap), which is
         below perceptual relevance; earlier samples are exact (causal convs
-        + the same zero right-padding finalize itself applies)."""
+        + the same zero right-padding finalize itself applies). Accepts np
+        or device mel; device_out skips the host fetch (see token2mel)."""
         true_len = mel.shape[0]
+        mel = jnp.asarray(mel, self.dtype)
         if finalize:
             bucket = _round_up(max(true_len, 1), 64)
-            mel = np.pad(mel, ((0, bucket - true_len), (0, 0)))
+            mel = jnp.pad(mel, ((0, bucket - true_len), (0, 0)))
         fn = self._hift_fn(mel.shape[0], finalize)
-        audio = np.asarray(fn(jnp.asarray(mel, self.dtype)[None]).astype(jnp.float32))[0]
+        audio = fn(mel[None])[0]
         if finalize:
             audio = audio[: true_len * self.cfg.hift.total_upsample]
-        return audio
+        return audio if device_out else np.asarray(audio.astype(jnp.float32))
 
     def batch_synthesize(
         self,
@@ -277,9 +290,12 @@ class CosyVoice3TTS:
         all_tokens = np.asarray(res.tokens)
         counts = np.asarray(res.num_tokens)
 
-        # batched flow: pad token rows to a common bucket
+        # batched flow: pad token rows to a common bucket. Coarse (x64)
+        # buckets: counts vary run-to-run (sampling), and every new bucket
+        # is a fresh multi-second XLA compile — at bs16 the whole device
+        # pipeline is ~0.9s, so program reuse dominates the padding waste.
         fp = np.asarray(flow_prompt_speech_token, np.int32)
-        lt_max = _round_up(int(counts.max()) + len(fp), 32)
+        lt_max = _round_up(int(counts.max()) + len(fp), 64)
         token = np.zeros((b, lt_max), np.int32)
         token_len = np.zeros((b,), np.int32)
         for i in range(b):
@@ -314,9 +330,7 @@ class CosyVoice3TTS:
         noise = jnp.asarray(fixed_cfm_noise()[:, :l_mel, :], mu.dtype)
         z = jnp.broadcast_to(noise, (b, l_mel, 80)).astype(mu.dtype)
         mel = solve(self.flow_params["estimator"], z, mu, spks, conds, mel_len)
-        mel = np.asarray(mel.astype(jnp.float32))
-
-        audio = self.vocode_batch(mel)
+        audio = self.vocode_batch(mel)  # device mel chains in; one audio fetch
         out = []
         ratio = self.cfg.token_mel_ratio
         hop = self.cfg.hift.total_upsample
@@ -380,7 +394,12 @@ class CosyVoice3TTS:
                 tokens = self.generate_tokens(text, prompt_text, llm_prompt_speech_token)
             else:
                 tokens = np.asarray(source_speech_token, np.int32)  # vc_job (model.py:131-133)
-            mel = self.token2mel(tokens, flow_prompt_speech_token, prompt_speech_feat, flow_embedding)
+            # mel stays on device and chains straight into the vocoder (one
+            # final audio fetch instead of a mel roundtrip + re-upload)
+            mel = self.token2mel(
+                tokens, flow_prompt_speech_token, prompt_speech_feat, flow_embedding,
+                device_out=(speed == 1.0),
+            )
             if speed != 1.0:
                 mel = _interp_mel(mel, int(mel.shape[0] / speed))
             audio = self.vocode(mel, finalize=True)
@@ -418,7 +437,13 @@ class CosyVoice3TTS:
         tokens = np.zeros(0, np.int32)
         llm_done = False
         token_offset = 0
-        emitted_mel = np.zeros((0, 80), np.float32)
+        # mel accumulates ON DEVICE across hops; per hop the only host
+        # traffic is the LLM token chunk and the new audio slice — every
+        # extra sync costs ~26 ms on the axon tunnel and the old full-audio
+        # fetch grew linearly with utterance length.
+        emitted_mel = jnp.zeros((0, 80), self.dtype)
+        prompt_feat_dev = jnp.asarray(prompt_speech_feat, self.dtype)
+        emb_dev = jnp.asarray(flow_embedding, jnp.float32)
         speech_offset = 0
         while True:
             this_hop = hop + prompt_pad if token_offset == 0 else hop
@@ -430,23 +455,22 @@ class CosyVoice3TTS:
             if len(tokens) - token_offset >= this_hop + la:
                 chunk_tokens = tokens[: token_offset + this_hop + la]
                 mel = self.token2mel(
-                    chunk_tokens, flow_prompt_speech_token, prompt_speech_feat, flow_embedding,
-                    streaming=True, finalize=False,
+                    chunk_tokens, flow_prompt_speech_token, prompt_feat_dev, emb_dev,
+                    streaming=True, finalize=False, device_out=True,
                 )
-                new_mel = mel[token_offset * ratio :]
-                emitted_mel = np.concatenate([emitted_mel, new_mel], axis=0)
-                audio = self.vocode(emitted_mel, finalize=False)
+                emitted_mel = jnp.concatenate([emitted_mel, mel[token_offset * ratio :]], axis=0)
+                audio = self.vocode(emitted_mel, finalize=False, device_out=True)
                 token_offset += this_hop
-                chunk_audio = audio[speech_offset:]
+                chunk_audio = np.asarray(audio[speech_offset:].astype(jnp.float32))
                 speech_offset += len(chunk_audio)
                 yield {"tts_speech": chunk_audio}
             elif llm_done:
                 break
-        mel = self.token2mel(tokens, flow_prompt_speech_token, prompt_speech_feat, flow_embedding,
-                             streaming=True, finalize=True)
-        emitted_mel = np.concatenate([emitted_mel, mel[token_offset * ratio :]], axis=0)
-        audio = self.vocode(emitted_mel, finalize=True)
-        yield {"tts_speech": audio[speech_offset:]}
+        mel = self.token2mel(tokens, flow_prompt_speech_token, prompt_feat_dev, emb_dev,
+                             streaming=True, finalize=True, device_out=True)
+        emitted_mel = jnp.concatenate([emitted_mel, mel[token_offset * ratio :]], axis=0)
+        audio = self.vocode(emitted_mel, finalize=True, device_out=True)
+        yield {"tts_speech": np.asarray(audio[speech_offset:].astype(jnp.float32))}
 
     def _stream_tokens(
         self,
@@ -479,9 +503,18 @@ class CosyVoice3TTS:
         )
         run = 0
         silent = set(SILENT_TOKENS)
-        while not bool(state.done.all()) and int(state.i) < max_len:
+        done, i = False, 0
+        while not done and i < max_len:
             state, chunk = decode_chunk(self.llm, self.llm_params, state, chunk_steps, tp)
-            emitted = np.asarray(chunk)[0]
+            # pack tokens + loop state into ONE host fetch: separate
+            # bool(state.done)/int(state.i) fetches each cost a full ~26 ms
+            # roundtrip on the axon tunnel
+            packed = np.asarray(
+                jnp.concatenate(
+                    [chunk[0], state.done.all().astype(jnp.int32)[None], state.i[None]]
+                )
+            )
+            emitted, done, i = packed[:-2], bool(packed[-2]), int(packed[-1])
             emitted = emitted[emitted >= 0]
             # silent-run suppression must be applied across chunk boundaries
             out = []
