@@ -54,7 +54,13 @@ class CosyVoice3:
 
     sample_rate = 24000
 
-    def __init__(self, model_dir: str, fp16: bool = True, load_frontend_models: bool = True):
+    def __init__(
+        self,
+        model_dir: str,
+        fp16: bool = True,
+        load_frontend_models: bool = True,
+        quant_int8: bool = False,
+    ):
         from .models.convert import flow_params_from_reference, hift_params_from_reference, llm_params_from_reference
 
         self.model_dir = Path(model_dir)
@@ -80,6 +86,10 @@ class CosyVoice3:
 
         llm_p = jax.tree.map(lambda x: jnp.asarray(x, dtype) if np.ndim(x) >= 2 else jnp.asarray(x), llm_p)
         self.model = CosyVoice3TTS(cfg, llm_p, flow_p, hift_p, dtype=dtype)
+        if quant_int8:
+            # weight-only int8 LLM decode (ops/quant.py) — the TPU analogue
+            # of the reference TRT-LLM runtime's int8 serving mode
+            self.model.quantize_llm()
 
         tok_dir = self.model_dir / "tokenizer"
         tokenizer = get_qwen_tokenizer(str(tok_dir) if tok_dir.exists() else None, True, "cosyvoice3")

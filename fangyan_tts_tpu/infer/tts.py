@@ -309,17 +309,8 @@ class CosyVoice3TTS:
         pf = np.asarray(prompt_speech_feat, np.float32)
         pf_b = np.broadcast_to(pf[None], (b, *pf.shape)) if pf.ndim == 2 else pf
 
-        from ..models.flow import CausalMaskedDiffWithDiT as _F
-        from ..models.flow import cfm_solve, fixed_cfm_noise
-
-        @jax.jit
-        def prep(p, tok, tl, pfeat, pflen, e):
-            return self.flow.apply({"params": p}, tok, tl, pfeat, pflen, e,
-                                   finalize=True, method=_F.prepare_inference)
-
-        @jax.jit
-        def solve(p, z, mu, spks, conds, mel_len):
-            return cfm_solve(self.cfg.flow, p, z, mu, spks, conds, mel_len, False)
+        prep, solve = self._batch_flow_fns()
+        from ..models.flow import fixed_cfm_noise
 
         pflen = jnp.full((b,), pf.shape[0], jnp.int32)
         mu, spks, conds, mel_len = prep(
@@ -340,6 +331,28 @@ class CosyVoice3TTS:
             start = (len(fp) * ratio) * hop
             out.append(audio[i, start : start + n_tok * ratio * hop])
         return out
+
+    def _batch_flow_fns(self):
+        """Jitted batched flow stages, created ONCE: jax.jit caches by
+        function identity, so defining these inside batch_synthesize would
+        recompile (~8s) on every call."""
+        if "batch_prep_solve" not in self._flow_jit:
+            from ..models.flow import CausalMaskedDiffWithDiT as _F
+            from ..models.flow import cfm_solve
+
+            flow, fcfg = self.flow, self.cfg.flow
+
+            @jax.jit
+            def prep(p, tok, tl, pfeat, pflen, e):
+                return flow.apply({"params": p}, tok, tl, pfeat, pflen, e,
+                                  finalize=True, method=_F.prepare_inference)
+
+            @jax.jit
+            def solve(p, z, mu, spks, conds, mel_len):
+                return cfm_solve(fcfg, p, z, mu, spks, conds, mel_len, False)
+
+            self._flow_jit["batch_prep_solve"] = (prep, solve)
+        return self._flow_jit["batch_prep_solve"]
 
     def vocode_batch(self, mel: np.ndarray) -> np.ndarray:
         key = ("batch", mel.shape[1])

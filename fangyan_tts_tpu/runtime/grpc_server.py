@@ -83,11 +83,12 @@ def main(argv=None) -> None:
     parser.add_argument("--port", type=int, default=50000)
     parser.add_argument("--max_conc", type=int, default=4)
     parser.add_argument("--model_dir", type=str, required=True)
+    parser.add_argument("--quant_int8", action="store_true", help="weight-only int8 LLM decode (ops/quant.py)")
     args = parser.parse_args(argv)
 
     from ..api import AutoModel
 
-    model = AutoModel(model_dir=args.model_dir)
+    model = AutoModel(model_dir=args.model_dir, quant_int8=args.quant_int8)
     server = serve(model, args.port, args.max_conc)
     print(f"grpc serving on :{args.port}")
     server.wait_for_termination()

@@ -108,3 +108,18 @@ def test_instruct2_and_speaker_cache(model, model_dir):
 def test_vc_through_api(model, model_dir):
     outs = list(model.inference_vc(str(model_dir / "prompt.wav"), str(model_dir / "prompt.wav")))
     assert len(outs[0]["tts_speech"]) > 0
+
+
+def test_quant_int8_through_full_api(model_dir):
+    """quant_int8=True loads the same checkpoints, converts the LLM to
+    weight-only int8 (ops/quant.py) and synthesizes through every mode."""
+    import fangyan_tts_tpu.api as api_mod
+
+    m = api_mod.CosyVoice3(str(model_dir), fp16=False, load_frontend_models=False, quant_int8=True)
+    assert m.model.cfg.llm.qwen.quant_int8
+    blk = m.model.llm_params["llm"]["layers"]["mlp"]["gate_proj"]
+    assert set(blk) == {"kernel_q", "scale"} and blk["kernel_q"].dtype == jnp.int8
+    outs = list(m.model.tts(text=np.arange(6, dtype=np.int32), stream=False))
+    assert len(outs[0]["tts_speech"]) > 0 and np.isfinite(outs[0]["tts_speech"]).all()
+    outs = list(m.model.tts(text=np.arange(8, dtype=np.int32), stream=True))
+    assert sum(len(o["tts_speech"]) for o in outs) > 0
