@@ -79,7 +79,9 @@ class CosyVoice3:
         missing = [k for k, v in paths.items() if v is None]
         if missing:
             raise FileNotFoundError(f"missing checkpoints in {model_dir}: {missing}")
-        llm_p = load_params(paths["llm"])
+        from .models.convert import fuse_qwen_split_params
+
+        llm_p = fuse_qwen_split_params(load_params(paths["llm"]))
         flow_p = load_params(paths["flow"])
         hift_p = load_params(paths["hift"])
         import jax

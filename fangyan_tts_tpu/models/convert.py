@@ -38,14 +38,24 @@ def qwen2_params_from_hf(state_dict: Mapping[str, Any], num_layers: int, prefix:
             "self_attn": {},
             "mlp": {},
         }
-        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
-            w = {"kernel": _t(state_dict[lp + f"self_attn.{name}.weight"]).T}
-            bkey = lp + f"self_attn.{name}.bias"
-            if bkey in state_dict:
-                w["bias"] = _t(state_dict[bkey])
-            layer["self_attn"][name] = w
-        for name in ("gate_proj", "up_proj", "down_proj"):
-            layer["mlp"][name] = {"kernel": _t(state_dict[lp + f"mlp.{name}.weight"]).T}
+        # q/k/v and gate/up are stored FUSED (single matmul per group at
+        # decode — see qwen2.Qwen2Attention); concat the HF split weights
+        qkv_w = np.concatenate(
+            [_t(state_dict[lp + f"self_attn.{n}.weight"]).T for n in ("q_proj", "k_proj", "v_proj")],
+            axis=1,
+        )
+        layer["self_attn"]["qkv_proj"] = {"kernel": qkv_w}
+        if lp + "self_attn.q_proj.bias" in state_dict:
+            layer["self_attn"]["qkv_proj"]["bias"] = np.concatenate(
+                [_t(state_dict[lp + f"self_attn.{n}.bias"]) for n in ("q_proj", "k_proj", "v_proj")]
+            )
+        layer["self_attn"]["o_proj"] = {"kernel": _t(state_dict[lp + "self_attn.o_proj.weight"]).T}
+        layer["mlp"]["gate_up_proj"] = {
+            "kernel": np.concatenate(
+                [_t(state_dict[lp + f"mlp.{n}.weight"]).T for n in ("gate_proj", "up_proj")], axis=1
+            )
+        }
+        layer["mlp"]["down_proj"] = {"kernel": _t(state_dict[lp + "mlp.down_proj.weight"]).T}
         layers.append(layer)
     # stack per-layer trees along a leading layer axis (Qwen2Model nn.scan layout)
     import jax
@@ -56,6 +66,35 @@ def qwen2_params_from_hf(state_dict: Mapping[str, Any], num_layers: int, prefix:
 
 def embed_tokens_from_hf(state_dict: Mapping[str, Any], prefix: str = "model.") -> np.ndarray:
     return _t(state_dict[prefix + "embed_tokens.weight"])
+
+
+def fuse_qwen_split_params(tree: Any) -> Any:
+    """Upgrade a params pytree saved with split q/k/v (and gate/up) Dense
+    layouts to the fused qkv_proj / gate_up_proj layout. No-op on already
+    fused trees; works on stacked (L, in, out) scan layouts too."""
+
+    def cat(parts, axis=-1):
+        import numpy as _np
+
+        xs = [_np.asarray(p) for p in parts]
+        return _np.concatenate(xs, axis=axis)
+
+    def walk(t: Any) -> Any:
+        if not isinstance(t, dict):
+            return t
+        t = {k: walk(v) for k, v in t.items()}
+        if {"q_proj", "k_proj", "v_proj"} <= set(t):
+            fused = {"kernel": cat([t[n]["kernel"] for n in ("q_proj", "k_proj", "v_proj")])}
+            if "bias" in t["q_proj"]:
+                fused["bias"] = cat([t[n]["bias"] for n in ("q_proj", "k_proj", "v_proj")])
+            t = {k: v for k, v in t.items() if k not in ("q_proj", "k_proj", "v_proj")}
+            t["qkv_proj"] = fused
+        if {"gate_proj", "up_proj"} <= set(t):
+            t["gate_up_proj"] = {"kernel": cat([t["gate_proj"]["kernel"], t["up_proj"]["kernel"]])}
+            t = {k: v for k, v in t.items() if k not in ("gate_proj", "up_proj")}
+        return t
+
+    return walk(tree)
 
 
 def _fold_weight_norm(sd: Mapping[str, Any], base: str) -> np.ndarray:

@@ -100,9 +100,13 @@ class Qwen2Attention(nn.Module):
         c = self.cfg
         b, t, _ = x.shape
         hd = c.head_dim
-        q = QDense(c.num_attention_heads * hd, use_bias=True, quant=c.quant_int8, name="q_proj")(x)
-        k = QDense(c.num_key_value_heads * hd, use_bias=True, quant=c.quant_int8, name="k_proj")(x)
-        v = QDense(c.num_key_value_heads * hd, use_bias=True, quant=c.quant_int8, name="v_proj")(x)
+        # q/k/v as ONE fused matmul: at bs1 decode every matmul carries ~4us
+        # of fixed launch overhead on v5e (measured), so 3 dots -> 1 is a
+        # direct per-step win; the HF split weights are concatenated by
+        # convert.qwen2_params_from_hf / fuse_qwen_split_params.
+        nq, nkv = c.num_attention_heads * hd, c.num_key_value_heads * hd
+        qkv = QDense(nq + 2 * nkv, use_bias=True, quant=c.quant_int8, name="qkv_proj")(x)
+        q, k, v = jnp.split(qkv, [nq, nq + nkv], axis=-1)
         q = q.reshape(b, t, c.num_attention_heads, hd)
         k = k.reshape(b, t, c.num_key_value_heads, hd)
         v = v.reshape(b, t, c.num_key_value_heads, hd)
@@ -136,8 +140,8 @@ class Qwen2MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        gate = QDense(c.intermediate_size, quant=c.quant_int8, name="gate_proj")(x)
-        up = QDense(c.intermediate_size, quant=c.quant_int8, name="up_proj")(x)
+        gu = QDense(2 * c.intermediate_size, quant=c.quant_int8, name="gate_up_proj")(x)
+        gate, up = jnp.split(gu, 2, axis=-1)
         return QDense(c.hidden_size, quant=c.quant_int8, name="down_proj")(nn.silu(gate) * up)
 
 

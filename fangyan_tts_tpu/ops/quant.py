@@ -57,7 +57,9 @@ def int8_dot(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarra
 
 
 _QWEN_DENSE_NAMES = frozenset(
-    {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"}
+    {"qkv_proj", "o_proj", "gate_up_proj", "down_proj",
+     # legacy split layout (pre-fusion checkpoints)
+     "q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"}
 )
 
 

@@ -29,12 +29,12 @@ _TP_RULES: list[tuple[str, P]] = [
     (r"embed_tokens/embedding$", P("tp", None)),
     (r"speech_embedding/embedding$", P("tp", None)),
     (r"input_embedding/embedding$", P("tp", None)),
-    (r"self_attn/(q_proj|k_proj|v_proj)/kernel(_q)?$", P(None, "tp")),
-    (r"self_attn/(q_proj|k_proj|v_proj)/(bias|scale)$", P("tp")),
+    (r"self_attn/qkv_proj/kernel(_q)?$", P(None, "tp")),
+    (r"self_attn/qkv_proj/(bias|scale)$", P("tp")),
     (r"self_attn/o_proj/kernel(_q)?$", P("tp", None)),
     (r"self_attn/o_proj/scale$", P()),
-    (r"mlp/(gate_proj|up_proj)/kernel(_q)?$", P(None, "tp")),
-    (r"mlp/(gate_proj|up_proj)/scale$", P("tp")),
+    (r"mlp/gate_up_proj/kernel(_q)?$", P(None, "tp")),
+    (r"mlp/gate_up_proj/scale$", P("tp")),
     (r"mlp/down_proj/kernel(_q)?$", P("tp", None)),
     (r"mlp/down_proj/scale$", P()),
     (r"llm_decoder/kernel$", P(None, "tp")),

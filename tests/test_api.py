@@ -117,7 +117,7 @@ def test_quant_int8_through_full_api(model_dir):
 
     m = api_mod.CosyVoice3(str(model_dir), fp16=False, load_frontend_models=False, quant_int8=True)
     assert m.model.cfg.llm.qwen.quant_int8
-    blk = m.model.llm_params["llm"]["layers"]["mlp"]["gate_proj"]
+    blk = m.model.llm_params["llm"]["layers"]["mlp"]["gate_up_proj"]
     assert set(blk) == {"kernel_q", "scale"} and blk["kernel_q"].dtype == jnp.int8
     outs = list(m.model.tts(text=np.arange(6, dtype=np.int32), stream=False))
     assert len(outs[0]["tts_speech"]) > 0 and np.isfinite(outs[0]["tts_speech"]).all()

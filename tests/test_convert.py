@@ -56,8 +56,9 @@ def test_llm_convert_and_run(rng):
     loss, acc = model.apply({"params": params}, src, ids, jnp.asarray([8]),
                             jnp.where(jnp.arange(8)[None] < 8, 3, -1))
     assert np.isfinite(float(loss))
-    # stacked layout
-    assert params["llm"]["layers"]["self_attn"]["q_proj"]["kernel"].shape == (2, 32, 32)
+    # stacked layout, q/k/v fused into one matmul kernel
+    assert params["llm"]["layers"]["self_attn"]["qkv_proj"]["kernel"].shape == (2, 32, 64)
+    assert params["llm"]["layers"]["mlp"]["gate_up_proj"]["kernel"].shape == (2, 32, 128)
 
 
 def fake_flow_sd(rng, depth=2):
@@ -191,3 +192,34 @@ def test_hift_convert_and_run(rng):
     audio, _ = hift.apply({"params": params}, mel)
     assert audio.shape == (1, 12 * 480)
     assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_fuse_qwen_split_params_backcompat(rng):
+    """Params saved with the legacy split q/k/v (and gate/up) layout upgrade
+    in place and produce identical outputs through the fused modules."""
+    sd = convert.filter_training_meta(fake_llm_sd(rng))
+    params = convert.llm_params_from_reference(sd, num_layers=2)  # fused
+
+    # reconstruct the legacy split layout from the fused kernels
+    import copy
+
+    legacy = copy.deepcopy(params)
+    attn = legacy["llm"]["layers"]["self_attn"]
+    qkv = attn.pop("qkv_proj")
+    k = np.asarray(qkv["kernel"])
+    b = np.asarray(qkv["bias"])
+    attn["q_proj"] = {"kernel": k[..., :32], "bias": b[..., :32]}
+    attn["k_proj"] = {"kernel": k[..., 32:48], "bias": b[..., 32:48]}
+    attn["v_proj"] = {"kernel": k[..., 48:], "bias": b[..., 48:]}
+    mlp = legacy["llm"]["layers"]["mlp"]
+    gu = mlp.pop("gate_up_proj")
+    g = np.asarray(gu["kernel"])
+    mlp["gate_proj"] = {"kernel": g[..., :64]}
+    mlp["up_proj"] = {"kernel": g[..., 64:]}
+
+    upgraded = convert.fuse_qwen_split_params(legacy)
+    a = jax.tree_util.tree_leaves(upgraded)
+    bl = jax.tree_util.tree_leaves(params)
+    assert len(a) == len(bl)
+    for x, y in zip(a, bl):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

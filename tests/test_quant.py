@@ -60,7 +60,7 @@ def test_qwen_quantized_forward_close():
     qparams = quantize_qwen_params(params)
 
     # converted pytree has int8 kernels + scales, no fp kernels in blocks
-    blk = qparams["layers"]["self_attn"]["q_proj"]
+    blk = qparams["layers"]["self_attn"]["qkv_proj"]
     assert set(blk) == {"kernel_q", "scale", "bias"} and blk["kernel_q"].dtype == jnp.int8
 
     h, _ = model.apply({"params": params}, x, positions, bias)
