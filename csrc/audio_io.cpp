@@ -35,7 +35,9 @@ int64_t parse_wav(const uint8_t* buf, int64_t len, float* out, int64_t max_out,
         const uint8_t* hdr = buf + pos;
         uint32_t chunk_len;
         memcpy(&chunk_len, hdr + 4, 4);
-        if (memcmp(hdr, "fmt ", 4) == 0 && chunk_len >= 16) {
+        // Chunk payloads are untrusted: verify the bytes we read fit in the
+        // buffer (a truncated 'fmt ' header near the end must not read OOB).
+        if (memcmp(hdr, "fmt ", 4) == 0 && chunk_len >= 16 && pos + 8 + 16 <= len) {
             memcpy(&fmt, hdr + 8, 2);
             memcpy(&channels, hdr + 10, 2);
             memcpy(&rate, hdr + 12, 4);

@@ -151,6 +151,13 @@ class CosyVoice3:
             mi = self.frontend.frontend_sft(seg, spk_id)
             yield from self._run(mi, stream, speed, seg)
 
+    def inference_instruct(self, tts_text, spk_id, instruct_text, stream=False, speed=1.0, text_frontend=True):
+        """v1-only natural-language instruct mode (cli/cosyvoice.py:119-139:
+        the reference asserts the model is CosyVoice v1)."""
+        raise NotImplementedError(
+            "inference_instruct is only implemented for CosyVoice (v1); use inference_instruct2"
+        )
+
     def inference_vc(self, source_wav, prompt_wav, stream=False, speed=1.0):
         from .data.audio import load_audio
 
@@ -168,6 +175,14 @@ class CosyVoice2(CosyVoice3):
 
 class CosyVoice(CosyVoice3):
     """CosyVoice1 placeholder for AutoModel dispatch."""
+
+    def inference_instruct(self, tts_text, spk_id, instruct_text, stream=False, speed=1.0, text_frontend=True):
+        """spk_id + NL instruct (cli/cosyvoice.py:119-139): frontend_sft minus
+        llm_embedding, instruct tokens as prompt_text."""
+        instruct_norm = self.frontend.text_normalize(instruct_text, split=False, text_frontend=text_frontend)
+        for seg in self.frontend.text_normalize(tts_text, split=True, text_frontend=text_frontend):
+            mi = self.frontend.frontend_instruct(seg, spk_id, instruct_norm)
+            yield from self._run(mi, stream, speed, seg)
 
 
 def AutoModel(model_dir: str, **kwargs):

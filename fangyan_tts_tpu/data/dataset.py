@@ -179,9 +179,14 @@ def _round_up(n: int, m: int) -> int:
     return max((n + m - 1) // m * m, m)
 
 
-def collate_llm(batch: list[dict], cfg: LLMConfig, bistream_prob: float = 0.5, pad_multiple: int = 64, seed: int = 0) -> dict:
-    """Batch -> padded LM training plans (llm.py:670-711 sequence layout)."""
-    rng = random.Random(seed + len(batch))
+def collate_llm(batch: list[dict], cfg: LLMConfig, bistream_prob: float = 0.5, pad_multiple: int = 64, seed: int = 0, rng: random.Random | None = None) -> dict:
+    """Batch -> padded LM training plans (llm.py:670-711 sequence layout).
+
+    Pass a persistent `rng` so the bistream/unistream coin flip is fresh per
+    sample across batches (matching the reference's per-sample
+    random.random() < 0.5); seeding per-call would correlate same-size batches.
+    """
+    rng = rng if rng is not None else random.Random(seed)
     plans = [
         build_plan(
             cfg,
@@ -260,9 +265,10 @@ def build_pipeline(
     it = parse_embedding(it, use_spk_embedding=use_spk_embedding)
     it = shuffle(it, shuffle_size, seed=epoch)
     it = sort_by_frames(it, sort_size)
+    collate_rng = random.Random(epoch)
     for batch in dynamic_batch(it, max_frames_in_batch):
         if mode == "llm":
-            yield collate_llm(batch, llm_cfg, seed=epoch)
+            yield collate_llm(batch, llm_cfg, rng=collate_rng)
         elif mode == "flow":
             yield collate_flow(batch, mel_fn)
         elif mode == "hifigan":

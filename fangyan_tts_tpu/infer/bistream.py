@@ -103,7 +103,10 @@ def inference_bistream(
                 tok = sample_one(non_stop)
             out_tokens.append(tok)
             if tok == c.fill:
-                append([1], [tok])
+                # The fill token is never fed to the model: the reference
+                # replaces lm_input with the next 5-text-token block after a
+                # fill (llm.py:571-583) and training never inputs fill, so
+                # feeding it would be out-of-distribution and shift positions.
                 break
             yield tok
             push_recent(tok)

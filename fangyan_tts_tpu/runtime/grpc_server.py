@@ -58,9 +58,12 @@ def make_servicer(model):
         else:
             context.abort(grpc.StatusCode.INVALID_ARGUMENT, f"unknown payload {which}")
             return
-        for out in gen:
-            pcm = (np.clip(out["tts_speech"], -1, 1) * (2**15)).astype("<i2").tobytes()
-            yield pb.Response(tts_audio=pcm)
+        try:
+            for out in gen:
+                pcm = (np.clip(out["tts_speech"], -1, 1) * (2**15)).astype("<i2").tobytes()
+                yield pb.Response(tts_audio=pcm)
+        except NotImplementedError as e:
+            context.abort(grpc.StatusCode.UNIMPLEMENTED, str(e))
 
     handler = grpc.unary_stream_rpc_method_handler(
         inference,

@@ -37,8 +37,13 @@ def _parse_multipart(body: bytes, content_type: str) -> dict:
     boundary = b"--" + m.group(1).encode()
     out: dict[str, bytes] = {}
     for part in body.split(boundary):
-        part = part.strip(b"\r\n")
-        if not part or part == b"--":
+        # strip exactly the delimiter CRLFs — str.strip would also eat
+        # legitimate trailing 0x0d/0x0a bytes of binary wav payloads
+        if part.startswith(b"\r\n"):
+            part = part[2:]
+        if part.endswith(b"\r\n"):
+            part = part[:-2]
+        if not part or part == b"--" or part == b"--\r\n":
             continue
         if b"\r\n\r\n" not in part:
             continue
@@ -85,11 +90,13 @@ class TTSHandler(BaseHTTPRequestHandler):
         tmp = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
         tmp.write(data if isinstance(data, bytes) else data.encode())
         tmp.close()
+        self._tmp_paths.append(tmp.name)
         return tmp.name
 
     def _handle(self) -> None:
         route = urlparse(self.path).path
         f = self._fields()
+        self._tmp_paths: list[str] = []
         try:
             with _model_lock:
                 if route == "/inference_sft":
@@ -114,8 +121,16 @@ class TTSHandler(BaseHTTPRequestHandler):
                     self.send_error(404, f"unknown route {route}")
                     return
                 self._stream(gen)
-        except (KeyError, ValueError, AssertionError) as e:
+        except (KeyError, ValueError, AssertionError, NotImplementedError, AttributeError) as e:
             self.send_error(400, f"{type(e).__name__}: {e}")
+        finally:
+            import os
+
+            for p in self._tmp_paths:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
 
     do_GET = _handle
     do_POST = _handle

@@ -41,8 +41,13 @@ class TinyModel:
     def inference_cross_lingual(self, tts_text, prompt_wav, **kw):
         yield from self.inference_sft(tts_text, "")
 
-    def inference_instruct(self, tts_text, spk_id, instruct_text, **kw):
-        yield from self.inference_sft(tts_text, spk_id)
+    # the REAL v3 API method (raises NotImplementedError) so the server
+    # route is tested against product behavior, not a mock that happens to
+    # define it (round-1 regression: route called a nonexistent method)
+    from fangyan_tts_tpu.api import CosyVoice3 as _CV3
+
+    inference_instruct = _CV3.inference_instruct
+    del _CV3
 
     def inference_instruct2(self, tts_text, instruct_text, prompt_wav, **kw):
         yield from self.inference_sft(tts_text, "")
@@ -80,6 +85,15 @@ def test_http_server_endpoints(tiny_model):
         # missing field -> 400
         try:
             urllib.request.urlopen(f"http://127.0.0.1:{port}/inference_sft?spk_id=x", timeout=60)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # v3 instruct (v1-only mode) -> deliberate 400, not a crash
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/inference_instruct?tts_text=hi&spk_id=x&instruct_text=y",
+                timeout=60,
+            )
             raise AssertionError("expected 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
