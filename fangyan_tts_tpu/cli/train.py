@@ -110,7 +110,7 @@ def main(argv=None) -> None:
         print(f"resumed from {args.checkpoint} (epoch {start_epoch}, step {start_step})")
 
     with mesh:
-        state = trainer.shard_state(trainer.init_state(params, tx), mesh)
+        state = trainer.shard_state(trainer.init_state(params, tx), mesh, tx)
         if start_step:
             state = state._replace(step=jnp.asarray(start_step, jnp.int32))
         save_init = Path(args.model_dir) / "init.msgpack"

@@ -90,22 +90,37 @@ def _jit_step(step: Callable, mesh: Mesh | None) -> Callable:
     return jax.jit(constrained, donate_argnums=(0,))
 
 
-def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
+def shard_state(state: TrainState, mesh: Mesh, tx: optax.GradientTransformation | None = None) -> TrainState:
     """Place params + optimizer state per sharding rules (ZeRO analogue:
-    adam m/v follow their parameter's sharding)."""
+    adam m/v follow their parameter's sharding).
+
+    With `tx`, the optimizer state is walked STRUCTURALLY via
+    optax.tree_map_params, so every param-shaped slot (adam mu/nu,
+    MultiSteps grad accumulator) gets exactly its parameter's sharding —
+    shape-keyed matching would silently alias two distinct params of equal
+    shape. Without `tx` (legacy), falls back to shape matching.
+    """
     pshard = pspec_tree(state.params, mesh)
     params = jax.tree.map(lambda p, s: jax.device_put(p, s), state.params, pshard)
+    repl = NamedSharding(mesh, P())
 
-    # MultiSteps/apply_if_finite wrap inner adam state; map param-shaped leaves
-    # to the param sharding by shape match where possible.
-    flat_params = {tuple(jnp.shape(p)): s for p, s in zip(jax.tree.leaves(state.params), jax.tree.leaves(pshard))}
+    if tx is not None:
+        opt_state = optax.tree_map_params(
+            tx,
+            lambda leaf, sh: jax.device_put(leaf, sh),
+            state.opt_state,
+            pshard,
+            transform_non_params=lambda leaf: jax.device_put(leaf, repl),
+        )
+    else:
+        flat_params = {tuple(jnp.shape(p)): s for p, s in zip(jax.tree.leaves(state.params), jax.tree.leaves(pshard))}
 
-    def place(leaf):
-        sh = flat_params.get(tuple(jnp.shape(leaf)))
-        if sh is not None and jnp.ndim(leaf) >= 1:
-            return jax.device_put(leaf, sh)
-        return jax.device_put(leaf, NamedSharding(mesh, P()))
+        def place(leaf):
+            sh = flat_params.get(tuple(jnp.shape(leaf)))
+            if sh is not None and jnp.ndim(leaf) >= 1:
+                return jax.device_put(leaf, sh)
+            return jax.device_put(leaf, repl)
 
-    opt_state = jax.tree.map(place, state.opt_state)
-    step_arr = jax.device_put(state.step, NamedSharding(mesh, P()))
+        opt_state = jax.tree.map(place, state.opt_state)
+    step_arr = jax.device_put(state.step, repl)
     return TrainState(step_arr, params, opt_state)
