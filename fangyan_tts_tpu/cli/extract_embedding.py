@@ -4,9 +4,10 @@ equivalent).
 python -m fangyan_tts_tpu.cli.extract_embedding --dir <kaldi-dir> \
     [--checkpoint campplus.msgpack] [--batch-size 64]
 
---onnx_path is accepted for recipe compatibility; if it points at a
-converted .msgpack it is used, otherwise a warning is printed (this build
-runs the CAM++ JAX reimplementation, not ONNX-Runtime).
+--onnx_path accepts the reference's campplus.onnx directly (weights are
+converted on the fly via models/convert.py:campplus_params_from_onnx) or a
+pre-converted .msgpack; extraction runs the CAM++ JAX reimplementation,
+batched and jitted, instead of ONNX-Runtime.
 """
 
 from __future__ import annotations
@@ -35,6 +36,10 @@ def main(argv=None) -> None:
     ckpt = args.checkpoint or (args.onnx_path if args.onnx_path and args.onnx_path.endswith(".msgpack") else None)
     if ckpt:
         params = load_params(ckpt)
+    elif args.onnx_path and args.onnx_path.endswith(".onnx"):
+        from ..models.convert import campplus_params_from_onnx
+
+        params = campplus_params_from_onnx(args.onnx_path)
     else:
         print("⚠️ no converted CAM++ checkpoint given — using random init (embeddings are placeholders)")
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 98, 80)))["params"]

@@ -245,3 +245,110 @@ def filter_training_meta(sd: Mapping[str, Any]) -> dict:
     """Drop epoch/step scalars from a reference training checkpoint
     (compare_inference.py:36-40)."""
     return {k: v for k, v in sd.items() if k not in ("epoch", "step")}
+
+
+# ------------------------------------------------------------- CAM++ frontend
+
+
+def _bn(sd, base, affine: bool = True) -> dict:
+    out = {"mean": _t(sd[base + ".running_mean"]), "var": _t(sd[base + ".running_var"])}
+    if affine:
+        out["scale"] = _t(sd[base + ".weight"])
+        out["bias"] = _t(sd[base + ".bias"])
+    return out
+
+
+def _conv2d(sd, base) -> dict:
+    # torch Conv2d (O, I, H, W) -> flax (H, W, I, O)
+    out = {"kernel": _fold_weight_norm(sd, base).transpose(2, 3, 1, 0)}
+    if base + ".bias" in sd:
+        out["bias"] = _t(sd[base + ".bias"])
+    return out
+
+
+def _lin_from_conv1x1(sd, base) -> dict:
+    # torch Conv1d k=1 (O, I, 1) -> flax Dense (I, O)
+    out = {"kernel": _t(sd[base + ".weight"])[:, :, 0].T}
+    if base + ".bias" in sd:
+        out["bias"] = _t(sd[base + ".bias"])
+    return out
+
+
+def campplus_params_from_torch(sd: Mapping[str, Any], block_layers=(12, 24, 16)) -> dict:
+    """3D-Speaker CAMPPlus state dict (the campplus.onnx export source,
+    frontend.py:45) -> models/campplus.py CAMPPlus params.
+
+    Torch module names: head.{conv1,bn1,layer1.*,layer2.*,conv2,bn2},
+    xvector.{tdnn,blockN.tdnndM.*,transitN,out_nonlinear,stats,dense}."""
+    head: dict = {
+        "conv1": _conv2d(sd, "head.conv1"),
+        "bn1": _bn(sd, "head.bn1"),
+        "conv2": _conv2d(sd, "head.conv2"),
+        "bn2": _bn(sd, "head.bn2"),
+    }
+    for li in (1, 2):
+        for bi in (0, 1):
+            base = f"head.layer{li}.{bi}"
+            blk = {
+                "conv1": _conv2d(sd, base + ".conv1"),
+                "bn1": _bn(sd, base + ".bn1"),
+                "conv2": _conv2d(sd, base + ".conv2"),
+                "bn2": _bn(sd, base + ".bn2"),
+            }
+            if base + ".shortcut.0.weight" in sd:
+                blk["shortcut_conv"] = _conv2d(sd, base + ".shortcut.0")
+                blk["shortcut_bn"] = _bn(sd, base + ".shortcut.1")
+            head[f"layer{li}_{bi}"] = blk
+
+    p: dict = {
+        "head": head,
+        "tdnn": {
+            "kernel": _conv_w(sd, "xvector.tdnn.linear"),
+            "bn": _bn(sd, "xvector.tdnn.nonlinear.batchnorm"),
+        },
+    }
+    for b, nl in enumerate(block_layers):
+        blk = {}
+        for i in range(nl):
+            base = f"xvector.block{b + 1}.tdnnd{i + 1}"
+            blk[f"layer_{i}"] = {
+                "bn1": _bn(sd, base + ".nonlinear1.batchnorm"),
+                "linear1": _lin_from_conv1x1(sd, base + ".linear1"),
+                "bn2": _bn(sd, base + ".nonlinear2.batchnorm"),
+                "cam_layer": {
+                    "linear_local_kernel": _conv_w(sd, base + ".cam_layer.linear_local"),
+                    "linear1": _lin_from_conv1x1(sd, base + ".cam_layer.linear1"),
+                    "linear2": _lin_from_conv1x1(sd, base + ".cam_layer.linear2"),
+                },
+            }
+        p[f"block_{b}"] = blk
+        p[f"transit_{b}"] = {
+            "bn": _bn(sd, f"xvector.transit{b + 1}.nonlinear.batchnorm"),
+            "linear": _lin_from_conv1x1(sd, f"xvector.transit{b + 1}.linear"),
+        }
+    p["out_bn"] = _bn(sd, "xvector.out_nonlinear.batchnorm")
+    p["embedding"] = _lin_from_conv1x1(sd, "xvector.dense.linear")
+    p["emb_bn"] = _bn(sd, "xvector.dense.nonlinear.batchnorm", affine=False)
+    return p
+
+
+def campplus_params_from_onnx(path, block_layers=(12, 24, 16)) -> dict:
+    """campplus.onnx -> CAMPPlus params (tools/extract_embedding.py:36-41).
+
+    Torch ONNX exports keep state-dict names for initializers when BN is not
+    constant-folded; folded graphs rename them onnx::Conv_*. We require the
+    name-preserving layout and point folded graphs at the graph executor."""
+    from ..data.onnx_proto import load_graph
+
+    g = load_graph(path)
+    sd = g.weights()
+    if "xvector.tdnn.linear.weight" not in sd:
+        raise ValueError(
+            "campplus.onnx initializers are not state-dict-named (likely a "
+            "constant-folded export); run it via ops/onnx_exec.py instead"
+        )
+    # architecture sanity vs the graph: dense-block conv1x1 bottleneck count
+    n_tdnnd = sum(1 for k in sd if ".linear1.weight" in k and ".cam_layer" not in k)
+    if n_tdnnd != sum(block_layers):
+        raise ValueError(f"graph has {n_tdnnd} dense layers, expected {sum(block_layers)}")
+    return campplus_params_from_torch(sd, block_layers)

@@ -40,7 +40,7 @@ def model_dir(tmp_path_factory):
     save_params(d / "llm.msgpack", tts.llm_params)
     save_params(d / "flow.msgpack", tts.flow_params)
     save_params(d / "hift.msgpack", tts.hift_params)
-    camp = CAMPPlus(embedding_size=192, init_channels=16, growth=4, bn_channels=16, block_layers=(2, 2, 2))
+    camp = CAMPPlus(embedding_size=192, init_channels=16, growth=4, bn_size=4, block_layers=(2, 2, 2))
     save_params(d / "campplus.msgpack", fast_init(camp, 5, jnp.zeros((1, 98, 80))))
     s3 = S3TokenizerV3(dim=64, heads=4, layers=2)
     save_params(d / "s3tokenizer.msgpack", fast_init(s3, 6, jnp.zeros((1, 128, 100)), jnp.asarray([100])))
@@ -60,7 +60,7 @@ def model(model_dir, monkeypatch_module=None):
     fe_mod_make_camp = fe_mod.make_campplus_fn
 
     def make_camp_tiny(params):
-        m = CAMPPlus(embedding_size=192, init_channels=16, growth=4, bn_channels=16, block_layers=(2, 2, 2))
+        m = CAMPPlus(embedding_size=192, init_channels=16, growth=4, bn_size=4, block_layers=(2, 2, 2))
 
         @jax.jit
         def fn(p, fbank):

@@ -12,7 +12,7 @@ from fangyan_tts_tpu.utils.init import fast_init
 
 
 def test_campplus_embedding_shape(rng):
-    model = CAMPPlus(embedding_size=32, init_channels=16, growth=4, bn_channels=16, block_layers=(2, 2, 2))
+    model = CAMPPlus(embedding_size=32, init_channels=16, growth=4, bn_size=4, block_layers=(2, 2, 2))
     fbank = jnp.asarray(rng.standard_normal((2, 98, 80)).astype(np.float32))
     params = fast_init(model, 0, fbank)
     emb = model.apply({"params": params}, fbank)
