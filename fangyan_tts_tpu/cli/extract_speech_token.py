@@ -31,6 +31,12 @@ def main(argv=None) -> None:
     ckpt = args.checkpoint or (args.onnx_path if args.onnx_path and args.onnx_path.endswith(".msgpack") else None)
     if ckpt:
         params = load_params(ckpt)
+    elif args.onnx_path and args.onnx_path.endswith(".onnx"):
+        from ..models.convert import s3_params_from_onnx
+
+        params, hyper = s3_params_from_onnx(args.onnx_path)
+        model = S3TokenizerV3(dim=hyper["dim"], layers=hyper["layers"],
+                              n_mels=hyper["n_mels"], fsmn_kernel=hyper["fsmn_kernel"])
     else:
         print("⚠️ no converted S3 checkpoint given — using random init (tokens are placeholders)")
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 200)), jnp.asarray([200]))["params"]

@@ -352,3 +352,67 @@ def campplus_params_from_onnx(path, block_layers=(12, 24, 16)) -> dict:
     if n_tdnnd != sum(block_layers):
         raise ValueError(f"graph has {n_tdnnd} dense layers, expected {sum(block_layers)}")
     return campplus_params_from_torch(sd, block_layers)
+
+
+# ------------------------------------------------------- S3 tokenizer frontend
+
+
+def s3_params_from_torch(sd: Mapping[str, Any]) -> tuple[dict, dict]:
+    """S3Tokenizer v2/v3 state dict (the speech_tokenizer ONNX export source,
+    frontend.py:46-48) -> (models/s3tokenizer.py params, derived hyperparams).
+
+    Hyperparameters (dim/heads inferable/layers/fsmn kernel) are DERIVED from
+    the weights rather than trusted: layer count from block indices, dim and
+    n_mels from conv1, fsmn kernel width from the depthwise conv."""
+    layers = 0
+    while f"encoder.blocks.{layers}.attn.query.weight" in sd:
+        layers += 1
+    if layers == 0:
+        raise ValueError("no encoder.blocks.* in state dict — not an S3 tokenizer export?")
+    w1 = _t(sd["encoder.conv1.weight"])  # (D, n_mels, 3)
+    dim, n_mels = int(w1.shape[0]), int(w1.shape[1])
+    fsmn_k = int(_t(sd["encoder.blocks.0.attn.fsmn_block.weight"]).shape[2])
+
+    pd_base = (
+        "quantizer._codebook.project_down"
+        if "quantizer._codebook.project_down.weight" in sd
+        else "quantizer.project_down"
+    )
+    p: dict = {
+        "conv1_kernel": _conv_w(sd, "encoder.conv1"),
+        "conv1_bias": _t(sd["encoder.conv1.bias"]),
+        "conv2_kernel": _conv_w(sd, "encoder.conv2"),
+        "conv2_bias": _t(sd["encoder.conv2.bias"]),
+        "fsq": {"project_down": _lin(sd, pd_base)},
+    }
+    for i in range(layers):
+        base = f"encoder.blocks.{i}"
+        p[f"blocks_{i}"] = {
+            "attn_ln": {"scale": _t(sd[f"{base}.attn_ln.weight"]), "bias": _t(sd[f"{base}.attn_ln.bias"])},
+            "q": _lin(sd, f"{base}.attn.query"),
+            "k": _lin(sd, f"{base}.attn.key"),
+            "v": _lin(sd, f"{base}.attn.value"),
+            "out": _lin(sd, f"{base}.attn.out"),
+            "fsmn_kernel": _conv_w(sd, f"{base}.attn.fsmn_block"),
+            "mlp_ln": {"scale": _t(sd[f"{base}.mlp_ln.weight"]), "bias": _t(sd[f"{base}.mlp_ln.bias"])},
+            "mlp_0": _lin(sd, f"{base}.mlp.0"),
+            "mlp_2": _lin(sd, f"{base}.mlp.2"),
+        }
+    hyper = {"dim": dim, "n_mels": n_mels, "layers": layers, "fsmn_kernel": fsmn_k}
+    return p, hyper
+
+
+def s3_params_from_onnx(path) -> tuple[dict, dict]:
+    """speech_tokenizer_v3.onnx -> (params, derived hyperparams)
+    (tools/extract_speech_token.py:38-48). Requires a state-dict-named
+    export; folded/renamed graphs go through ops/onnx_exec.py instead."""
+    from ..data.onnx_proto import load_graph
+
+    g = load_graph(path)
+    sd = g.weights()
+    if "encoder.conv1.weight" not in sd:
+        raise ValueError(
+            "speech tokenizer ONNX initializers are not state-dict-named "
+            "(likely a constant-folded export); run it via ops/onnx_exec.py"
+        )
+    return s3_params_from_torch(sd)
