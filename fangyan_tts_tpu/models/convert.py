@@ -158,7 +158,6 @@ def flow_params_from_reference(sd: Mapping[str, Any], depth: int = 22) -> dict:
       final layer: scale then shift) — verified against modules.py:241,262.
     - the rotary quirk needs no weights (models/dit.py reproduces it in code).
     """
-    est = "decoder.estimator."
     p: dict = {
         "input_embedding": {"embedding": _t(sd["input_embedding.weight"])},
         "spk_embed_affine_layer": _lin(sd, "spk_embed_affine_layer"),
@@ -168,21 +167,30 @@ def flow_params_from_reference(sd: Mapping[str, Any], depth: int = 22) -> dict:
             "conv2_kernel": _conv_w(sd, "pre_lookahead_layer.conv2"),
             "conv2_bias": _t(sd["pre_lookahead_layer.conv2.bias"]),
         },
-        "estimator": {
-            "time_embed": {
-                "mlp_0": _lin(sd, est + "time_embed.time_mlp.0"),
-                "mlp_2": _lin(sd, est + "time_embed.time_mlp.2"),
-            },
-            "input_proj": _lin(sd, est + "input_embed.proj"),
-            "conv_pos_embed": {
-                "conv1_kernel": _conv_w(sd, est + "input_embed.conv_pos_embed.conv1.0"),
-                "conv1_bias": _t(sd[est + "input_embed.conv_pos_embed.conv1.0.bias"]),
-                "conv2_kernel": _conv_w(sd, est + "input_embed.conv_pos_embed.conv2.0"),
-                "conv2_bias": _t(sd[est + "input_embed.conv_pos_embed.conv2.0.bias"]),
-            },
-            "norm_out_linear": _lin(sd, est + "norm_out.linear"),
-            "proj_out": _lin(sd, est + "proj_out"),
+        "estimator": dit_estimator_params(sd, "decoder.estimator.", depth),
+    }
+    return p
+
+
+def dit_estimator_params(sd: Mapping[str, Any], prefix: str, depth: int) -> dict:
+    """Reference DiT (flow/DiT/dit.py:104-176) -> models/dit.py DiT params.
+    `prefix` is '' for a raw DiT state dict, 'decoder.estimator.' inside
+    flow.pt."""
+    est = prefix
+    p: dict = {
+        "time_embed": {
+            "mlp_0": _lin(sd, est + "time_embed.time_mlp.0"),
+            "mlp_2": _lin(sd, est + "time_embed.time_mlp.2"),
         },
+        "input_proj": _lin(sd, est + "input_embed.proj"),
+        "conv_pos_embed": {
+            "conv1_kernel": _conv_w(sd, est + "input_embed.conv_pos_embed.conv1.0"),
+            "conv1_bias": _t(sd[est + "input_embed.conv_pos_embed.conv1.0.bias"]),
+            "conv2_kernel": _conv_w(sd, est + "input_embed.conv_pos_embed.conv2.0"),
+            "conv2_bias": _t(sd[est + "input_embed.conv_pos_embed.conv2.0.bias"]),
+        },
+        "norm_out_linear": _lin(sd, est + "norm_out.linear"),
+        "proj_out": _lin(sd, est + "proj_out"),
     }
     blocks = []
     for i in range(depth):
@@ -202,7 +210,7 @@ def flow_params_from_reference(sd: Mapping[str, Any], depth: int = 22) -> dict:
         )
     import jax
 
-    p["estimator"]["blocks"] = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)
+    p["blocks"] = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)
     return p
 
 
