@@ -424,3 +424,221 @@ def s3_params_from_onnx(path) -> tuple[dict, dict]:
             "(likely a constant-folded export); run it via ops/onnx_exec.py"
         )
     return s3_params_from_torch(sd)
+
+
+# ------------------------------------------------ conformer encoders (v1/v2)
+
+
+def _fold_bn_affine(sd, base, eps: float = 1e-5) -> tuple[np.ndarray, np.ndarray]:
+    """BatchNorm1d (eval) -> (scale, bias) affine fold."""
+    w = _t(sd[base + ".weight"])
+    b = _t(sd[base + ".bias"])
+    mean = _t(sd[base + ".running_mean"])
+    var = _t(sd[base + ".running_var"])
+    scale = w / np.sqrt(var + eps)
+    return scale, b - mean * scale
+
+
+def _conformer_layer_params(sd, base, macaron: bool, use_cnn: bool, cnn_norm: str = "batch_norm") -> dict:
+    """One (Conformer)EncoderLayer (encoder_layer.py:118-236) -> our
+    ConformerEncoderLayer params."""
+    p: dict = {
+        "self_attn": {
+            "linear_q": _lin(sd, base + ".self_attn.linear_q"),
+            "linear_k": _lin(sd, base + ".self_attn.linear_k"),
+            "linear_v": _lin(sd, base + ".self_attn.linear_v"),
+            "linear_out": _lin(sd, base + ".self_attn.linear_out"),
+            "linear_pos": {"kernel": _t(sd[base + ".self_attn.linear_pos.weight"]).T},
+            "pos_bias_u": _t(sd[base + ".self_attn.pos_bias_u"]),
+            "pos_bias_v": _t(sd[base + ".self_attn.pos_bias_v"]),
+        },
+        "ff": {
+            "w_1": _lin(sd, base + ".feed_forward.w_1"),
+            "w_2": _lin(sd, base + ".feed_forward.w_2"),
+        },
+        "norm_mha": {"scale": _t(sd[base + ".norm_mha.weight"]), "bias": _t(sd[base + ".norm_mha.bias"])},
+        "norm_ff": {"scale": _t(sd[base + ".norm_ff.weight"]), "bias": _t(sd[base + ".norm_ff.bias"])},
+    }
+    if macaron:
+        p["ff_macaron"] = {
+            "w_1": _lin(sd, base + ".feed_forward_macaron.w_1"),
+            "w_2": _lin(sd, base + ".feed_forward_macaron.w_2"),
+        }
+        p["norm_ff_macaron"] = {
+            "scale": _t(sd[base + ".norm_ff_macaron.weight"]),
+            "bias": _t(sd[base + ".norm_ff_macaron.bias"]),
+        }
+    if use_cnn:
+        cm = base + ".conv_module"
+        cp: dict = {
+            "pw1_kernel": _conv_w(sd, cm + ".pointwise_conv1"),
+            "pw1_bias": _t(sd[cm + ".pointwise_conv1.bias"]),
+            "dw_kernel": _conv_w(sd, cm + ".depthwise_conv"),
+            "dw_bias": _t(sd[cm + ".depthwise_conv.bias"]),
+            "pw2_kernel": _conv_w(sd, cm + ".pointwise_conv2"),
+            "pw2_bias": _t(sd[cm + ".pointwise_conv2.bias"]),
+        }
+        if cnn_norm == "batch_norm":
+            cp["bn_scale"], cp["bn_bias"] = _fold_bn_affine(sd, cm + ".norm")
+        else:
+            cp["norm"] = {"scale": _t(sd[cm + ".norm.weight"]), "bias": _t(sd[cm + ".norm.bias"])}
+        p["conv_module"] = cp
+        p["norm_conv"] = {"scale": _t(sd[base + ".norm_conv.weight"]), "bias": _t(sd[base + ".norm_conv.bias"])}
+        p["norm_final"] = {"scale": _t(sd[base + ".norm_final.weight"]), "bias": _t(sd[base + ".norm_final.bias"])}
+    return p
+
+
+def _stack_layers(layers: list) -> dict:
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *layers)
+
+
+def _linear_embed_params(sd, base) -> dict:
+    """LinearNoSubsampling (subsampling.py linear layer: out.0 Linear,
+    out.1 LayerNorm)."""
+    return {
+        "linear": _lin(sd, base + ".out.0"),
+        "norm": {"scale": _t(sd[base + ".out.1.weight"]), "bias": _t(sd[base + ".out.1.bias"])},
+    }
+
+
+def upsample_encoder_params_from_reference(
+    sd: Mapping[str, Any],
+    prefix: str = "",
+    num_blocks: int = 6,
+    num_up_blocks: int = 4,
+    macaron: bool = False,
+    use_cnn: bool = False,
+) -> dict:
+    """UpsampleConformerEncoder (upsample_encoder.py:106-321) -> our
+    UpsampleConformerEncoder params. `prefix` is 'encoder.' inside a v2
+    flow.pt."""
+    p: dict = {
+        "embed": _linear_embed_params(sd, prefix + "embed"),
+        "pre_lookahead_layer": {
+            "conv1_kernel": _conv_w(sd, prefix + "pre_lookahead_layer.conv1"),
+            "conv1_bias": _t(sd[prefix + "pre_lookahead_layer.conv1.bias"]),
+            "conv2_kernel": _conv_w(sd, prefix + "pre_lookahead_layer.conv2"),
+            "conv2_bias": _t(sd[prefix + "pre_lookahead_layer.conv2.bias"]),
+        },
+        "up_conv_kernel": _conv_w(sd, prefix + "up_layer.conv"),
+        "up_conv_bias": _t(sd[prefix + "up_layer.conv.bias"]),
+        "up_embed": _linear_embed_params(sd, prefix + "up_embed"),
+        "after_norm": {"scale": _t(sd[prefix + "after_norm.weight"]), "bias": _t(sd[prefix + "after_norm.bias"])},
+        "encoders": _stack_layers(
+            [_conformer_layer_params(sd, f"{prefix}encoders.{i}", macaron, use_cnn) for i in range(num_blocks)]
+        ),
+        "up_encoders": _stack_layers(
+            [_conformer_layer_params(sd, f"{prefix}up_encoders.{i}", macaron, use_cnn) for i in range(num_up_blocks)]
+        ),
+    }
+    return p
+
+
+def conformer_encoder_params_from_reference(
+    sd: Mapping[str, Any],
+    prefix: str = "",
+    num_blocks: int = 6,
+    macaron: bool = True,
+    use_cnn: bool = True,
+    cnn_norm: str = "batch_norm",
+) -> dict:
+    """(Conformer/Transformer)Encoder (encoder.py:338-474) -> our
+    ConformerEncoder params. v1 llm text encoder / v1 flow encoder."""
+    return {
+        "embed": _linear_embed_params(sd, prefix + "embed"),
+        "after_norm": {"scale": _t(sd[prefix + "after_norm.weight"]), "bias": _t(sd[prefix + "after_norm.bias"])},
+        "encoders": _stack_layers(
+            [_conformer_layer_params(sd, f"{prefix}encoders.{i}", macaron, use_cnn, cnn_norm) for i in range(num_blocks)]
+        ),
+    }
+
+
+# --------------------------------------------- U-Net CFM estimator (v1/v2)
+
+
+def _unet_block1d(sd, base, causal: bool) -> dict:
+    """matcha Block1D (conv+GroupNorm) / CausalBlock1D (causal conv+LayerNorm),
+    decoder.py:65-78."""
+    norm_idx = 2 if causal else 1
+    return {
+        "kernel": _conv_w(sd, f"{base}.block.0"),
+        "bias": _t(sd[f"{base}.block.0.bias"]),
+        "norm": {
+            "scale": _t(sd[f"{base}.block.{norm_idx}.weight"]),
+            "bias": _t(sd[f"{base}.block.{norm_idx}.bias"]),
+        },
+    }
+
+
+def _unet_resnet(sd, base, causal: bool) -> dict:
+    return {
+        "block1": _unet_block1d(sd, f"{base}.block1", causal),
+        "block2": _unet_block1d(sd, f"{base}.block2", causal),
+        "mlp": _lin(sd, f"{base}.mlp.1"),
+        "res_kernel": _conv_w(sd, f"{base}.res_conv"),
+        "res_bias": _t(sd[f"{base}.res_conv.bias"]),
+    }
+
+
+def _unet_transformer(sd, base) -> dict:
+    """matcha BasicTransformerBlock (transformer.py:138-300, gelu FF)."""
+    return {
+        "norm1": {"scale": _t(sd[f"{base}.norm1.weight"]), "bias": _t(sd[f"{base}.norm1.bias"])},
+        "to_q": {"kernel": _t(sd[f"{base}.attn1.to_q.weight"]).T},
+        "to_k": {"kernel": _t(sd[f"{base}.attn1.to_k.weight"]).T},
+        "to_v": {"kernel": _t(sd[f"{base}.attn1.to_v.weight"]).T},
+        "to_out": _lin(sd, f"{base}.attn1.to_out.0"),
+        "norm3": {"scale": _t(sd[f"{base}.norm3.weight"]), "bias": _t(sd[f"{base}.norm3.bias"])},
+        "ff_in": _lin(sd, f"{base}.ff.net.0.proj"),
+        "ff_out": _lin(sd, f"{base}.ff.net.2"),
+    }
+
+
+def _unet_level(sd, base, n_blocks: int, causal: bool) -> dict:
+    p = {"resnet": _unet_resnet(sd, f"{base}.0", causal)}
+    for j in range(n_blocks):
+        p[f"tb_{j}"] = _unet_transformer(sd, f"{base}.1.{j}")
+    return p
+
+
+def unet_estimator_params(
+    sd: Mapping[str, Any],
+    prefix: str = "",
+    channels: tuple = (256,),
+    n_blocks: int = 4,
+    num_mid_blocks: int = 12,
+    causal: bool = False,
+) -> dict:
+    """(Causal)ConditionalDecoder (flow/decoder.py:88-494) -> our
+    models/unet_decoder.py ConditionalDecoder params. `prefix` is
+    'decoder.estimator.' inside a v1/v2 flow.pt."""
+    p: dict = {
+        "time_mlp_1": _lin(sd, prefix + "time_mlp.linear_1"),
+        "time_mlp_2": _lin(sd, prefix + "time_mlp.linear_2"),
+        "final_block": _unet_block1d(sd, prefix + "final_block", causal),
+        "final_proj_kernel": _conv_w(sd, prefix + "final_proj"),
+        "final_proj_bias": _t(sd[prefix + "final_proj.bias"]),
+    }
+    n_levels = len(channels)
+    for i in range(n_levels):
+        p[f"down_{i}"] = _unet_level(sd, f"{prefix}down_blocks.{i}", n_blocks, causal)
+        ds = f"{prefix}down_blocks.{i}.2"
+        # Downsample1D wraps its conv in `.conv`; the is_last plain conv doesn't
+        ds_base = ds + ".conv" if ds + ".conv.weight" in sd else ds
+        p[f"down_conv_{i}_kernel"] = _conv_w(sd, ds_base)
+        p[f"down_conv_{i}_bias"] = _t(sd[ds_base + ".bias"])
+    mids = [_unet_level(sd, f"{prefix}mid_blocks.{i}", n_blocks, causal) for i in range(num_mid_blocks)]
+    p["mid"] = {"level": _stack_layers(mids)}
+    for i in range(n_levels):
+        p[f"up_{i}"] = _unet_level(sd, f"{prefix}up_blocks.{i}", n_blocks, causal)
+        us = f"{prefix}up_blocks.{i}.2"
+        if us + ".conv.weight" in sd:  # Upsample1D conv_transpose
+            w = _t(sd[us + ".conv.weight"])  # torch (Cin, Cout, W)
+            p[f"up_tconv_{i}_kernel"] = w.transpose(2, 1, 0)
+            p[f"up_tconv_{i}_bias"] = _t(sd[us + ".conv.bias"])
+        else:
+            p[f"up_conv_{i}_kernel"] = _conv_w(sd, us)
+            p[f"up_conv_{i}_bias"] = _t(sd[us + ".bias"])
+    return p

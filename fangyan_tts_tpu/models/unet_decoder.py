@@ -51,10 +51,13 @@ class Block1D(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.dim_out,))
         h = x * mask
         if self.causal:
+            # CausalBlock1D (decoder.py:65-78): causal conv + LayerNorm + Mish
             h = causal_conv1d_left(h, k.astype(x.dtype), b.astype(x.dtype))
+            h = nn.LayerNorm(name="norm")(h)
         else:
+            # matcha Block1D: conv + GroupNorm(8) + Mish
             h = conv1d(h, k.astype(x.dtype), b.astype(x.dtype), padding=1)
-        h = nn.GroupNorm(num_groups=self.groups, name="norm")(h)
+            h = nn.GroupNorm(num_groups=self.groups, name="norm")(h)
         return _mish(h) * mask
 
 
