@@ -168,13 +168,142 @@ class CosyVoice3:
 
 
 class CosyVoice2(CosyVoice3):
-    """CosyVoice2 shares the runtime surface; config.json selects the v2
-    hyperparameters (Qwen2LM head layout, UpsampleConformer flow). Round-1
-    scope: v3 weights path; v2-specific modules land with weight support."""
+    """CosyVoice2 (cli/cosyvoice.py:143-189): Qwen2LM with the 2-row
+    sos/task table, CausalMaskedDiffWithXvec (UpsampleConformer + causal
+    U-Net CFM) and the non-causal 24 kHz HiFT with mel/source/speech
+    streaming caches."""
+
+    sample_rate = 24000
+
+    def __init__(self, model_dir: str, fp16: bool = True, load_frontend_models: bool = True, **_):
+        from .config import cosyvoice2_config
+        from .infer.tts_v12 import CosyVoice2TTS
+        from .models.convert import (
+            flow_v2_params_from_reference,
+            hift_nc_params_from_reference,
+            llm_v2_params_from_reference,
+        )
+        from .models.flow_xvec import CausalMaskedDiffWithXvec
+
+        self.model_dir = Path(model_dir)
+        from .config import _to_jsonable
+
+        extra: dict = {}
+        cfg_path = self.model_dir / "config.json"
+        if cfg_path.exists():
+            extra = json.loads(cfg_path.read_text())
+        # overlay on the v2 preset so omitted sections keep v2 (not v3) defaults
+        cfg = config_from_dict({**_to_jsonable(cosyvoice2_config()), **extra, "version": 2})
+        self.cfg = cfg
+        dtype = jnp.bfloat16 if fp16 else jnp.float32
+
+        paths = {
+            "llm": _maybe_convert(self.model_dir, "llm", llm_v2_params_from_reference),
+            "flow": _maybe_convert(self.model_dir, "flow", flow_v2_params_from_reference),
+            "hift": _maybe_convert(self.model_dir, "hift", hift_nc_params_from_reference),
+        }
+        missing = [k for k, v in paths.items() if v is None]
+        if missing:
+            raise FileNotFoundError(f"missing checkpoints in {model_dir}: {missing}")
+        from .models.convert import fuse_qwen_split_params
+
+        llm_p = fuse_qwen_split_params(load_params(paths["llm"]))
+        import jax
+
+        llm_p = jax.tree.map(lambda x: jnp.asarray(x, dtype) if np.ndim(x) >= 2 else jnp.asarray(x), llm_p)
+        # optional module-size overrides (tiny models / non-default layouts):
+        # config.json {"xvec_flow": {<CausalMaskedDiffWithXvec kwargs>}}
+        flow_kw = {k: tuple(v) if isinstance(v, list) else v for k, v in extra.get("xvec_flow", {}).items()}
+        flow = CausalMaskedDiffWithXvec(vocab_size=cfg.llm.speech_token_size, **flow_kw)
+        self.model = CosyVoice2TTS(
+            cfg.llm, llm_p, flow, load_params(paths["flow"]), cfg.hift, load_params(paths["hift"]), dtype=dtype
+        )
+        self._init_frontend(load_frontend_models)
+
+    def _init_frontend(self, load_frontend_models: bool):
+        tok_dir = self.model_dir / "CosyVoice-BlankEN"
+        if not tok_dir.exists():
+            tok_dir = self.model_dir / "tokenizer"
+        tokenizer = get_qwen_tokenizer(str(tok_dir) if tok_dir.exists() else None, True, "cosyvoice2")
+        campplus_fn = s3_fn = None
+        if load_frontend_models:
+            cp = self.model_dir / "campplus.msgpack"
+            s3 = self.model_dir / "s3tokenizer.msgpack"
+            if cp.exists():
+                campplus_fn = make_campplus_fn(load_params(cp))
+            if s3.exists():
+                s3_fn = make_s3_fn(load_params(s3))
+        self.frontend = Frontend(tokenizer, self.cfg, campplus_fn, s3_fn, spk2info=self.model_dir / "spk2info.pt")
 
 
 class CosyVoice(CosyVoice3):
-    """CosyVoice1 placeholder for AutoModel dispatch."""
+    """CosyVoice1 (cli/cosyvoice.py:27-141): TransformerLM + conformer flow
+    with the InterpolateRegulator + non-causal 22.05 kHz HiFT; streaming via
+    mel-overlap fades and the z/mu flow cache."""
+
+    sample_rate = 22050
+
+    def __init__(self, model_dir: str, fp16: bool = False, load_frontend_models: bool = True, **_):
+        from .config import cosyvoice1_config
+        from .infer.tts_v12 import CosyVoiceV1TTS
+        from .models.convert import (
+            flow_v1_params_from_reference,
+            hift_nc_params_from_reference,
+            llm_v1_params_from_reference,
+        )
+        from .models.flow_xvec import MaskedDiffWithXvec
+        from .models.llm_v1 import TransformerLM
+
+        self.model_dir = Path(model_dir)
+        from .config import _to_jsonable
+
+        extra: dict = {}
+        cfg_path = self.model_dir / "config.json"
+        if cfg_path.exists():
+            extra = json.loads(cfg_path.read_text())
+        # overlay on the v1 preset so omitted sections keep v1 (not v3) defaults
+        cfg = config_from_dict({**_to_jsonable(cosyvoice1_config()), **extra, "version": 1})
+        self.cfg = cfg
+        paths = {
+            "llm": _maybe_convert(self.model_dir, "llm", llm_v1_params_from_reference),
+            "flow": _maybe_convert(self.model_dir, "flow", flow_v1_params_from_reference),
+            "hift": _maybe_convert(
+                self.model_dir, "hift",
+                lambda sd: hift_nc_params_from_reference(sd, upsample_rates=(8, 8)),
+            ),
+        }
+        missing = [k for k, v in paths.items() if v is None]
+        if missing:
+            raise FileNotFoundError(f"missing checkpoints in {model_dir}: {missing}")
+        # optional module-size overrides: config.json {"llm_v1": {...},
+        # "xvec_flow": {...}} (tiny models / non-default layouts)
+        llm_kw = extra.get("llm_v1", {})
+        flow_kw = {k: tuple(v) if isinstance(v, list) else v for k, v in extra.get("xvec_flow", {}).items()}
+        llm = TransformerLM(speech_token_size=cfg.llm.speech_token_size, **llm_kw)
+        flow = MaskedDiffWithXvec(vocab_size=cfg.llm.speech_token_size, **flow_kw)
+        # v1 stays fp32: the legacy stack is small and the reference serves
+        # it fp32 (cli/cosyvoice.py:39 warns fp16 off for v1)
+        self.model = CosyVoiceV1TTS(
+            llm, load_params(paths["llm"]), flow, load_params(paths["flow"]),
+            cfg.hift, load_params(paths["hift"]),
+        )
+        tokenizer = None
+        vocab = self.model_dir / "multilingual_zh_ja_yue_char_del.tiktoken"
+        from .tokenizer import get_tokenizer
+
+        tokenizer = get_tokenizer(multilingual=True, vocab_path=str(vocab) if vocab.exists() else None)
+        campplus_fn = s3_fn = None
+        if load_frontend_models:
+            cp = self.model_dir / "campplus.msgpack"
+            s3 = self.model_dir / "s3tokenizer.msgpack"
+            if cp.exists():
+                campplus_fn = make_campplus_fn(load_params(cp))
+            if s3.exists():
+                s3_fn = make_s3_fn(load_params(s3))
+        self.frontend = Frontend(tokenizer, cfg, campplus_fn, s3_fn, spk2info=self.model_dir / "spk2info.pt")
+
+    def inference_instruct2(self, *a, **k):
+        raise NotImplementedError("inference_instruct2 requires CosyVoice2/3")
 
     def inference_instruct(self, tts_text, spk_id, instruct_text, stream=False, speed=1.0, text_frontend=True):
         """spk_id + NL instruct (cli/cosyvoice.py:119-139): frontend_sft minus
@@ -190,10 +319,12 @@ def AutoModel(model_dir: str, **kwargs):
     d = Path(model_dir)
     if (d / "config.json").exists():
         version = json.loads((d / "config.json").read_text()).get("version", 3)
-    elif (d / "cosyvoice3.yaml").exists() or (d / "llm.pt").exists():
+    elif (d / "cosyvoice3.yaml").exists():
         version = 3
     elif (d / "cosyvoice2.yaml").exists():
         version = 2
+    elif (d / "cosyvoice.yaml").exists():
+        version = 1
     else:
         version = 3
     cls = {1: CosyVoice, 2: CosyVoice2, 3: CosyVoice3}[version]

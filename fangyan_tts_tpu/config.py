@@ -180,8 +180,13 @@ class MelConfig:
 
 @dataclass(frozen=True)
 class CosyVoiceConfig:
-    """Top-level model family config (mirrors cosyvoice3.yaml fixed params)."""
+    """Top-level model family config (mirrors cosyvoice3.yaml fixed params).
 
+    `version` selects the model family (1/2/3) for AutoModel dispatch and
+    the api.py module wiring; the nested configs carry the per-family
+    hyperparameters (see cosyvoice1_config / cosyvoice2_config)."""
+
+    version: int = 3
     sample_rate: int = 24000
     token_frame_rate: int = 25
     token_mel_ratio: int = 2
@@ -192,6 +197,36 @@ class CosyVoiceConfig:
     flow: FlowConfig = field(default_factory=FlowConfig)
     hift: HiFTConfig = field(default_factory=HiFTConfig)
     mel: MelConfig = field(default_factory=MelConfig)
+
+
+def cosyvoice1_config() -> CosyVoiceConfig:
+    """CosyVoice1 fixed params (conf/cosyvoice.yaml): 22.05 kHz, 50 Hz
+    tokens, hop-256 mel, [8,8]x4 non-causal HiFT, 4096-token flow vocab."""
+    return CosyVoiceConfig(
+        version=1,
+        sample_rate=22050,
+        token_frame_rate=50,
+        token_mel_ratio=0,  # non-integer (22050/256 per 50 Hz token); v1 uses mel_len2 arithmetic
+        llm=LLMConfig(speech_token_size=4096, extra_tokens=1, llm_input_size=1024, llm_output_size=1024),
+        hift=HiFTConfig(
+            sampling_rate=22050,
+            upsample_rates=(8, 8),
+            upsample_kernel_sizes=(16, 16),
+            source_resblock_kernel_sizes=(7, 11),
+            source_resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+        ),
+        mel=MelConfig(n_fft=1024, sampling_rate=22050, hop_size=256, win_size=1024),
+    )
+
+
+def cosyvoice2_config() -> CosyVoiceConfig:
+    """CosyVoice2 fixed params (conf/cosyvoice2.yaml): 24 kHz, 25 Hz tokens,
+    x2 upsampling flow, non-causal [8,5,3]x4 HiFT, 6561-token FSQ vocab,
+    Qwen2 LM with the 2-row sos/task table (head = size + 3)."""
+    return CosyVoiceConfig(
+        version=2,
+        llm=LLMConfig(speech_token_size=6561, extra_tokens=3),
+    )
 
 
 def _to_jsonable(obj: Any) -> Any:

@@ -42,11 +42,39 @@ def estimate_f0(
             continue
         k = int(np.argmax(seg)) + lag_min
         if nacf[k] > voicing_threshold:
-            # parabolic interpolation around the peak
+            # subharmonic (octave-down) correction: if half the period also
+            # scores nearly as high, the peak at k is the 2nd/3rd multiple of
+            # the true period — prefer the smallest strong multiple (the
+            # stonemask-style refinement pyworld applies)
+            for div in (4, 3, 2):
+                kd = k // div
+                if kd >= lag_min and nacf[kd] > 0.85 * nacf[k] and nacf[kd] > voicing_threshold:
+                    k = kd
+                    break
+            # parabolic interpolation around the peak (sub-sample lag)
+            kf = float(k)
             if 1 <= k < frame_len - 1:
                 a, b, c = nacf[k - 1], nacf[k], nacf[k + 1]
                 denom = a - 2 * b + c
                 shift = 0.5 * (a - c) / denom if abs(denom) > 1e-12 else 0.0
-                k = k + np.clip(shift, -1, 1)
-            f0[i] = sample_rate / k
-    return f0
+                kf = k + float(np.clip(shift, -1, 1))
+            f0[i] = sample_rate / kf
+    return _median_smooth_voiced(f0)
+
+
+def _median_smooth_voiced(f0: np.ndarray, width: int = 5) -> np.ndarray:
+    """5-frame median filter over voiced frames only: removes isolated
+    octave/tracking outliers without smearing voiced/unvoiced boundaries
+    (pyworld's harvest produces comparably smooth contours)."""
+    out = f0.copy()
+    half = width // 2
+    n = len(f0)
+    for i in range(n):
+        if f0[i] == 0:
+            continue
+        lo, hi = max(0, i - half), min(n, i + half + 1)
+        win = f0[lo:hi]
+        win = win[win > 0]
+        if win.size:
+            out[i] = np.median(win)
+    return out

@@ -138,3 +138,24 @@ def pad_plans_left(plans: Sequence[Plan], length: int | None = None) -> dict:
         ids[i, length - n :] = p.ids
         lens[i] = n
     return {"src": src, "ids": ids, "lengths": lens}
+
+
+SPECIAL = 2  # src==2 selects the 2-row llm_embedding table (v2, llm.py:283)
+
+
+def remap_plan_v2(cfg: LLMConfig, plan: Plan) -> Plan:
+    """Remap a v3-layout plan to the CosyVoice2 id layout (llm.py:277-294):
+    sos/task move from the speech table to the 2-row llm_embedding (src=2,
+    ids 0/1); target ids shift to eos = speech_token_size + 0 and
+    fill = speech_token_size + 2 (v3 uses +1/+3)."""
+    src = plan.src.copy()
+    ids = plan.ids.copy()
+    tgt = plan.targets.copy()
+    is_sos = (src == SPEECH) & (ids == cfg.sos)
+    is_task = (src == SPEECH) & (ids == cfg.task_id)
+    src[is_sos | is_task] = SPECIAL
+    ids[is_sos] = 0
+    ids[is_task] = 1
+    tgt[tgt == cfg.eos] = cfg.speech_token_size  # v2 eos
+    tgt[tgt == cfg.fill] = cfg.speech_token_size + 2  # v2 fill
+    return Plan(src=src, ids=ids, targets=tgt)

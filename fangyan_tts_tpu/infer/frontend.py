@@ -88,11 +88,17 @@ class Frontend:
         feat = (feat - mean) * mask
         return np.asarray(self.campplus_fn(feat))[0]
 
-    def extract_speech_feat(self, wav_24k: np.ndarray) -> np.ndarray:
-        """(T, 80) 24 kHz mel (frontend.py:120-125)."""
-        hop = self.cfg.mel.hop_size
-        n = len(wav_24k) // hop * hop
-        mel = matcha_mel(jnp.asarray(wav_24k[:n])[None])
+    def extract_speech_feat(self, wav: np.ndarray) -> np.ndarray:
+        """(T, 80) mel at the model's sample rate (frontend.py:120-125);
+        the mel parameters come from cfg.mel (24 kHz/480 for v2/v3,
+        22.05 kHz/256 for v1)."""
+        m = self.cfg.mel
+        n = len(wav) // m.hop_size * m.hop_size
+        mel = matcha_mel(
+            jnp.asarray(wav[:n])[None], n_fft=m.n_fft, num_mels=m.num_mels,
+            sampling_rate=m.sampling_rate, hop_size=m.hop_size, win_size=m.win_size,
+            fmin=m.fmin, fmax=m.fmax,
+        )
         return np.asarray(mel)[0].T  # (T, 80)
 
     def text_normalize(self, text: str, split: bool = True, text_frontend: bool = True):
@@ -106,21 +112,24 @@ class Frontend:
     # ---- per-mode prompt builders (frontend.py:160-224) ---------------------
 
     def _prompt_features(self, prompt_wav: str | np.ndarray) -> dict:
+        sr = self.cfg.sample_rate
         if isinstance(prompt_wav, (str, Path)):
             wav16, _ = load_audio(prompt_wav, target_sr=16000)
-            wav24, _ = load_audio(prompt_wav, target_sr=24000)
+            wav_sr, _ = load_audio(prompt_wav, target_sr=sr)
         else:
             from ..data.audio import resample_poly
 
             wav16 = prompt_wav
-            wav24 = resample_poly(prompt_wav, 16000, 24000)
-        feat = self.extract_speech_feat(wav24)
+            wav_sr = resample_poly(prompt_wav, 16000, sr)
+        feat = self.extract_speech_feat(wav_sr)
         tokens = self.extract_speech_token(wav16)
-        # force feat/token 2:1 alignment (frontend.py:175-178)
-        token_len = min(feat.shape[0] // 2, len(tokens))
+        if sr == 24000:
+            # v2/v3 only: force feat/token 2:1 alignment (frontend.py:174-178)
+            token_len = min(feat.shape[0] // 2, len(tokens))
+            feat, tokens = feat[: 2 * token_len], tokens[:token_len]
         return {
-            "speech_feat": feat[: 2 * token_len],
-            "speech_token": tokens[:token_len],
+            "speech_feat": feat,
+            "speech_token": tokens,
             "embedding": self.extract_spk_embedding(wav16),
         }
 

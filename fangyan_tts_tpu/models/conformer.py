@@ -98,11 +98,13 @@ class RelPositionAttention(nn.Module):
 class PositionwiseFeedForward(nn.Module):
     dim: int
     hidden: int
+    activation: str = "swish"  # ConformerEncoder default; TransformerEncoder
+    # uses relu (encoder.py:360 activation_type="relu")
 
     @nn.compact
     def __call__(self, x):
         h = nn.Dense(self.hidden, name="w_1", dtype=x.dtype)(x)
-        h = h * jax.nn.sigmoid(h)  # swish
+        h = jax.nn.relu(h) if self.activation == "relu" else h * jax.nn.sigmoid(h)
         return nn.Dense(self.dim, name="w_2", dtype=x.dtype)(h)
 
 
@@ -152,13 +154,14 @@ class ConformerEncoderLayer(nn.Module):
     cnn_kernel: int = 15
     cnn_causal: bool = False
     key_bias: bool = True
+    ffn_act: str = "swish"
 
     @nn.compact
     def __call__(self, carry, _=None):
         x, pos_emb, attn_mask, pad_mask = carry
         if self.macaron:
             h = nn.LayerNorm(epsilon=1e-12, name="norm_ff_macaron")(x)
-            x = x + 0.5 * PositionwiseFeedForward(self.dim, self.ffn_hidden, name="ff_macaron")(h)
+            x = x + 0.5 * PositionwiseFeedForward(self.dim, self.ffn_hidden, self.ffn_act, name="ff_macaron")(h)
         h = nn.LayerNorm(epsilon=1e-12, name="norm_mha")(x)
         x = x + RelPositionAttention(self.heads, self.dim, self.key_bias, name="self_attn")(h, pos_emb, attn_mask)
         if self.use_cnn:
@@ -166,7 +169,7 @@ class ConformerEncoderLayer(nn.Module):
             x = x + ConvolutionModule(self.dim, self.cnn_kernel, self.cnn_causal, name="conv_module")(h, pad_mask)
         h = nn.LayerNorm(epsilon=1e-12, name="norm_ff")(x)
         ff_scale = 0.5 if self.macaron else 1.0
-        x = x + ff_scale * PositionwiseFeedForward(self.dim, self.ffn_hidden, name="ff")(h)
+        x = x + ff_scale * PositionwiseFeedForward(self.dim, self.ffn_hidden, self.ffn_act, name="ff")(h)
         if self.use_cnn:
             x = nn.LayerNorm(epsilon=1e-12, name="norm_final")(x)
         return (x, pos_emb, attn_mask, pad_mask), None
@@ -183,14 +186,21 @@ def _scan_blocks(name: str, n: int, **layer_kw):
 
 class LinearEmbed(nn.Module):
     """LinearNoSubsampling + EspnetRelPositionalEncoding: Linear -> LN ->
-    x*sqrt(d), rel-pos table (subsampling.py linear input layer)."""
+    x*sqrt(d), rel-pos table (subsampling.py linear input layer).
+
+    `legacy_relu` adds the trailing ReLU of LegacyLinearNoSubsampling
+    (subsampling.py:338-360, the 'linear_legacy' input layer used by the
+    CosyVoice1 LM encoder, conf/cosyvoice.yaml llm.input_layer)."""
 
     dim: int
+    legacy_relu: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.dim, name="linear", dtype=x.dtype)(x)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        if self.legacy_relu:
+            x = jax.nn.relu(x)
         t = x.shape[1]
         table = espnet_rel_pos_table(max(t, 1), self.dim)
         center = table.shape[1] // 2
@@ -265,16 +275,18 @@ class ConformerEncoder(nn.Module):
     use_cnn: bool = True
     cnn_kernel: int = 15
     input_dim: Optional[int] = None
+    ffn_act: str = "swish"  # "relu" for TransformerEncoder stacks (v1 LM)
+    legacy_embed: bool = False  # 'linear_legacy' input layer (v1 LM)
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, xs_lens: jnp.ndarray, streaming: bool = False, static_chunk_size: int = 0):
         b, t, _ = xs.shape
-        x, pos = LinearEmbed(self.dim, name="embed")(xs)
+        x, pos = LinearEmbed(self.dim, legacy_relu=self.legacy_embed, name="embed")(xs)
         attn_mask = chunk_attn_mask(xs_lens, t, static_chunk_size if streaming else 0)
         pad_mask = (jnp.arange(t)[None, :] < xs_lens[:, None]).astype(x.dtype)
         (x, *_), _ = _scan_blocks(
             "encoders", self.num_blocks, dim=self.dim, heads=self.heads, ffn_hidden=self.ffn_hidden,
-            macaron=self.macaron, use_cnn=self.use_cnn, cnn_kernel=self.cnn_kernel,
+            macaron=self.macaron, use_cnn=self.use_cnn, cnn_kernel=self.cnn_kernel, ffn_act=self.ffn_act,
         )((x, pos, attn_mask, pad_mask), None)
         x = nn.LayerNorm(epsilon=1e-5, name="after_norm")(x)
         return x, xs_lens

@@ -439,9 +439,11 @@ def _fold_bn_affine(sd, base, eps: float = 1e-5) -> tuple[np.ndarray, np.ndarray
     return scale, b - mean * scale
 
 
-def _conformer_layer_params(sd, base, macaron: bool, use_cnn: bool, cnn_norm: str = "batch_norm") -> dict:
-    """One (Conformer)EncoderLayer (encoder_layer.py:118-236) -> our
-    ConformerEncoderLayer params."""
+def _conformer_layer_params(sd, base, macaron: bool, use_cnn: bool, cnn_norm: str = "batch_norm", transformer: bool = False) -> dict:
+    """One (Conformer/Transformer)EncoderLayer (encoder_layer.py:40-236) ->
+    our ConformerEncoderLayer params. TransformerEncoderLayer names its
+    norms norm1/norm2 (encoder_layer.py:52-53) instead of norm_mha/norm_ff."""
+    n_mha, n_ff = ("norm1", "norm2") if transformer else ("norm_mha", "norm_ff")
     p: dict = {
         "self_attn": {
             "linear_q": _lin(sd, base + ".self_attn.linear_q"),
@@ -456,8 +458,8 @@ def _conformer_layer_params(sd, base, macaron: bool, use_cnn: bool, cnn_norm: st
             "w_1": _lin(sd, base + ".feed_forward.w_1"),
             "w_2": _lin(sd, base + ".feed_forward.w_2"),
         },
-        "norm_mha": {"scale": _t(sd[base + ".norm_mha.weight"]), "bias": _t(sd[base + ".norm_mha.bias"])},
-        "norm_ff": {"scale": _t(sd[base + ".norm_ff.weight"]), "bias": _t(sd[base + ".norm_ff.bias"])},
+        "norm_mha": {"scale": _t(sd[f"{base}.{n_mha}.weight"]), "bias": _t(sd[f"{base}.{n_mha}.bias"])},
+        "norm_ff": {"scale": _t(sd[f"{base}.{n_ff}.weight"]), "bias": _t(sd[f"{base}.{n_ff}.bias"])},
     }
     if macaron:
         p["ff_macaron"] = {
@@ -543,14 +545,18 @@ def conformer_encoder_params_from_reference(
     macaron: bool = True,
     use_cnn: bool = True,
     cnn_norm: str = "batch_norm",
+    transformer: bool = False,
 ) -> dict:
     """(Conformer/Transformer)Encoder (encoder.py:338-474) -> our
-    ConformerEncoder params. v1 llm text encoder / v1 flow encoder."""
+    ConformerEncoder params. v1 llm text encoder / v1 flow encoder;
+    `transformer=True` for TransformerEncoder stacks (v1 LM: norm1/norm2
+    layer norms; the 'linear_legacy' input layer shares the LinearNo-
+    Subsampling parameter layout, subsampling.py:352-356)."""
     return {
         "embed": _linear_embed_params(sd, prefix + "embed"),
         "after_norm": {"scale": _t(sd[prefix + "after_norm.weight"]), "bias": _t(sd[prefix + "after_norm.bias"])},
         "encoders": _stack_layers(
-            [_conformer_layer_params(sd, f"{prefix}encoders.{i}", macaron, use_cnn, cnn_norm) for i in range(num_blocks)]
+            [_conformer_layer_params(sd, f"{prefix}encoders.{i}", macaron, use_cnn, cnn_norm, transformer) for i in range(num_blocks)]
         ),
     }
 
@@ -641,4 +647,121 @@ def unet_estimator_params(
         else:
             p[f"up_conv_{i}_kernel"] = _conv_w(sd, us)
             p[f"up_conv_{i}_bias"] = _t(sd[us + ".bias"])
+    return p
+
+
+# --------------------------------------------- CosyVoice1/2 family checkpoints
+
+
+def llm_v1_params_from_reference(sd: Mapping[str, Any], text_enc_blocks: int = 6, llm_blocks: int = 14) -> dict:
+    """CosyVoice1 llm.pt (TransformerLM, llm.py:33-98) -> models/llm_v1.py
+    TransformerLM params. text_encoder is a ConformerEncoder (no macaron/cnn,
+    conf/cosyvoice.yaml:27-43); llm is a TransformerEncoder (norm1/norm2
+    naming + relu ffn + linear_legacy input, yaml:44-56)."""
+    return {
+        "text_embedding": {"embedding": _t(sd["text_embedding.weight"])},
+        "text_encoder": conformer_encoder_params_from_reference(
+            sd, "text_encoder.", text_enc_blocks, macaron=False, use_cnn=False
+        ),
+        "text_encoder_affine_layer": _lin(sd, "text_encoder_affine_layer"),
+        "llm_embedding": {"embedding": _t(sd["llm_embedding.weight"])},
+        "spk_embed_affine_layer": _lin(sd, "spk_embed_affine_layer"),
+        "speech_embedding": {"embedding": _t(sd["speech_embedding.weight"])},
+        "llm": conformer_encoder_params_from_reference(
+            sd, "llm.", llm_blocks, macaron=False, use_cnn=False, transformer=True
+        ),
+        "llm_decoder": _lin(sd, "llm_decoder"),
+    }
+
+
+def llm_v2_params_from_reference(sd: Mapping[str, Any], num_layers: int = 24) -> dict:
+    """CosyVoice2 llm.pt (Qwen2LM, llm.py:261-353) -> models/llm.py Qwen2LMV2
+    params: HF Qwen2 backbone under llm.model.model.*, a 2-row sos/task
+    llm_embedding, and a biased speech head (llm.py:271-280)."""
+    return {
+        "embed_tokens": {"embedding": _t(sd["llm.model.model.embed_tokens.weight"])},
+        "llm_embedding": {"embedding": _t(sd["llm_embedding.weight"])},
+        "speech_embedding": {"embedding": _t(sd["speech_embedding.weight"])},
+        "llm_decoder": _lin(sd, "llm_decoder"),
+        "llm": qwen2_params_from_hf(sd, num_layers, prefix="llm.model.model."),
+    }
+
+
+def _regulator_params(sd, prefix: str, num_blocks: int = 4) -> dict:
+    """InterpolateRegulator conv stack (length_regulator.py:32-42:
+    [Conv1d k3, GroupNorm, Mish] x num_blocks ++ Conv1d k1 at
+    model.{3*num_blocks})."""
+    p: dict = {}
+    for i in range(num_blocks):
+        p[f"conv_{i}_kernel"] = _conv_w(sd, f"{prefix}model.{3 * i}")
+        p[f"conv_{i}_bias"] = _t(sd[f"{prefix}model.{3 * i}.bias"])
+        p[f"norm_{i}_scale"] = _t(sd[f"{prefix}model.{3 * i + 1}.weight"])
+        p[f"norm_{i}_bias"] = _t(sd[f"{prefix}model.{3 * i + 1}.bias"])
+    p["out_kernel"] = _conv_w(sd, f"{prefix}model.{3 * num_blocks}")
+    p["out_bias"] = _t(sd[f"{prefix}model.{3 * num_blocks}.bias"])
+    return p
+
+
+def flow_v1_params_from_reference(
+    sd: Mapping[str, Any], num_blocks: int = 6, est_levels: int = 2, est_blocks: int = 4, est_mid: int = 12
+) -> dict:
+    """CosyVoice1 flow.pt (MaskedDiffWithXvec, flow.py:24-145) ->
+    models/flow_xvec.py MaskedDiffWithXvec params. est_* describe the U-Net
+    LAYOUT (level/block counts, conf/cosyvoice.yaml:104-113) — dims come from
+    the weights themselves."""
+    return {
+        "input_embedding": {"embedding": _t(sd["input_embedding.weight"])},
+        "spk_embed_affine_layer": _lin(sd, "spk_embed_affine_layer"),
+        "encoder": conformer_encoder_params_from_reference(
+            sd, "encoder.", num_blocks, macaron=False, use_cnn=False
+        ),
+        "encoder_proj": _lin(sd, "encoder_proj"),
+        "length_regulator": _regulator_params(sd, "length_regulator."),
+        "estimator": unet_estimator_params(
+            sd, "decoder.estimator.", channels=(0,) * est_levels, n_blocks=est_blocks, num_mid_blocks=est_mid, causal=False
+        ),
+    }
+
+
+def flow_v2_params_from_reference(
+    sd: Mapping[str, Any], num_blocks: int = 6, num_up_blocks: int = 4, est_blocks: int = 4, est_mid: int = 12
+) -> dict:
+    """CosyVoice2 flow.pt (CausalMaskedDiffWithXvec, flow.py:148-275) ->
+    models/flow_xvec.py CausalMaskedDiffWithXvec params."""
+    return {
+        "input_embedding": {"embedding": _t(sd["input_embedding.weight"])},
+        "spk_embed_affine_layer": _lin(sd, "spk_embed_affine_layer"),
+        "encoder": upsample_encoder_params_from_reference(sd, "encoder.", num_blocks, num_up_blocks),
+        "encoder_proj": _lin(sd, "encoder_proj"),
+        "estimator": unet_estimator_params(
+            sd, "decoder.estimator.", channels=(0,), n_blocks=est_blocks, num_mid_blocks=est_mid, causal=True
+        ),
+    }
+
+
+def hift_nc_params_from_reference(
+    sd: Mapping[str, Any],
+    upsample_rates: tuple = (8, 5, 3),
+    num_resblock_kernels: int = 3,
+    resblock_dilations: int = 3,
+) -> dict:
+    """Non-causal hift.pt (HiFTGenerator, generator.py:378-569) ->
+    models/hift.py HiFT params. Unlike the causal stack, ups.{i} are
+    weight-normed ConvTranspose1d — torch weight layout (in, out, k) ->
+    flax (k, out, in)."""
+    p: dict = {
+        "conv_pre": _conv(sd, "conv_pre"),
+        "conv_post": _conv(sd, "conv_post"),
+        "m_source": {"l_linear": _lin(sd, "m_source.l_linear")},
+        "f0_predictor": {"classifier": _lin(sd, "f0_predictor.classifier")},
+    }
+    for i in range(5):
+        p["f0_predictor"][f"conv{i}"] = _conv(sd, f"f0_predictor.condnet.{2 * i}")
+    for i in range(len(upsample_rates)):
+        p[f"ups_{i}_kernel"] = _fold_weight_norm(sd, f"ups.{i}").transpose(2, 1, 0)
+        p[f"ups_{i}_bias"] = _t(sd[f"ups.{i}.bias"])
+        p[f"source_downs_{i}"] = _conv(sd, f"source_downs.{i}")
+        p[f"source_resblocks_{i}"] = _resblock(sd, f"source_resblocks.{i}", resblock_dilations)
+        for j in range(num_resblock_kernels):
+            p[f"resblocks_{i}_{j}"] = _resblock(sd, f"resblocks.{i * num_resblock_kernels + j}", resblock_dilations)
     return p

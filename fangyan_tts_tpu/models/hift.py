@@ -37,6 +37,7 @@ from ..ops.convs import (
     causal_conv1d_right,
     conv1d,
     downsample_linear,
+    upsample_linear,
     upsample_nearest,
 )
 from ..ops.stft import hann_window, istft, stft
@@ -53,6 +54,16 @@ def nsf_buffers(harmonics_plus_one: int = 9, max_samples: int = 300 * 24000):
     uniform_noise = rng.random((1, max_samples, harmonics_plus_one), dtype=np.float32)
     uv_noise = rng.random((1, max_samples, 1), dtype=np.float32)
     return rand_ini, uniform_noise, uv_noise
+
+
+def nsf_gauss_noise(n_samples: int, harmonics_plus_one: int = 9) -> np.ndarray:
+    """Deterministic standard-normal noise (1, n, H) standing in for the
+    non-causal SineGen/SineGen2 torch.randn_like additive noise
+    (generator.py:184-186, :311-314) — the reference draws fresh noise per
+    call; a fixed draw is an equally valid sample and keeps outputs
+    reproducible."""
+    rng = np.random.default_rng(1)
+    return rng.standard_normal((1, n_samples, harmonics_plus_one)).astype(np.float32)
 
 
 def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
@@ -120,19 +131,22 @@ class CausalConvUp(nn.Module):
 
 
 class PlainConv(nn.Module):
-    """Symmetric-padding conv (the non-causal HiFT's Conv1d w/ get_padding)."""
+    """Symmetric-padding conv (the non-causal HiFT's Conv1d w/ get_padding).
+    `pad` overrides the derived padding (the strided source_downs use
+    padding=stride//2, generator.py:455-458)."""
 
     in_ch: int
     out_ch: int
     kernel: int
     dilation: int = 1
     stride: int = 1
+    pad: int | None = None
 
     @nn.compact
     def __call__(self, x):
         k = self.param("kernel", nn.initializers.lecun_normal(), (self.kernel, self.in_ch, self.out_ch))
         b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
-        pad = (self.kernel * self.dilation - self.dilation) // 2
+        pad = (self.kernel * self.dilation - self.dilation) // 2 if self.pad is None else self.pad
         return conv1d(x, k.astype(x.dtype), b.astype(x.dtype), stride=self.stride, padding=pad, dilation=self.dilation)
 
 
@@ -184,52 +198,72 @@ class CausalF0Predictor(nn.Module):
 
 
 class SourceModule(nn.Module):
-    """SourceModuleHnNSF with SineGen2 (causal=True) — generator.py:192-375.
+    """SourceModuleHnNSF (generator.py:320-375) over the three SineGen
+    variants the reference dispatches between:
 
-    Input f0 is at frame rate; upsampling to sample rate happens here
-    (f0_upsamp nearest ×480 is fused into the phase computation: SineGen2
-    downsamples rad back to frame rate before the cumsum, and nearest-
-    upsamples the phase — so we compute phase directly at frame rate).
+    - "sinegen2_causal": SineGen2(causal=True) — the CausalHiFT (v3) source.
+      Input f0 is at frame rate; f0_upsamp nearest x480 is fused into the
+      phase computation (SineGen2 downsamples rad back to frame rate before
+      the cumsum and nearest-upsamples the phase).
+    - "sinegen2": SineGen2(causal=False) — the v2 non-causal 24 kHz HiFT
+      (generator.py:422-425 picks type '2' when sampling_rate != 22050).
+      Same pipeline but the phase upsample is LINEAR and the additive noise
+      is Gaussian.
+    - "sinegen1": the original SineGen (generator.py:125-190) — the v1
+      22.05 kHz HiFT: phase = 2*pi*(cumsum(f0*(i+1)/sr at SAMPLE rate) % 1)
+      with a random per-harmonic initial phase in [-pi, pi) (0 for the
+      fundamental).
     """
 
     cfg: HiFTConfig
+    variant: str = "sinegen2_causal"
 
     @nn.compact
     def __call__(self, f0_frame: jnp.ndarray) -> jnp.ndarray:
-        """f0_frame: (B, L) f0 per mel frame -> source (B, L*480, 1)."""
+        """f0_frame: (B, L) f0 per mel frame -> source (B, L*up, 1)."""
         c = self.cfg
         hplus = c.nb_harmonics + 1
-        up = c.total_upsample  # 480
+        up = c.total_upsample
         b, l = f0_frame.shape
+        rand_ini, uniform_noise, uv_noise = nsf_buffers(hplus)
 
         harmonic_mult = jnp.arange(1, hplus + 1, dtype=jnp.float32)
-        fn = f0_frame[..., None] * harmonic_mult  # (B, L, H)
+        f0_up = upsample_nearest(f0_frame[..., None], up)  # (B, L*up, 1)
+        n_samp = l * up
 
-        # The reference upsamples f0 to sample rate (nearest ×480), takes
-        # rad = (fn/sr) % 1, adds rand_ini to the first sample, linearly
-        # downsamples rad by 1/480, cumsums, multiplies by 480 and nearest-
-        # upsamples the phase (generator.py:239-258). For nearest-upsampled
-        # input, linear downsample at torch's sampling offsets reproduces the
-        # frame-rate values except for boundary interpolation; we follow the
-        # same sequence of ops on an explicitly upsampled grid for parity.
-        rad = jnp.mod(fn / c.sampling_rate, 1.0)  # (B, L, H)
-        rad_up = upsample_nearest(rad, up)  # (B, L*480, H)
-        rand_ini, uniform_noise, uv_noise = nsf_buffers(hplus)
-        rad_up = rad_up.at[:, 0, :].add(jnp.asarray(rand_ini[0]))
-        rad_down = downsample_linear(rad_up, up)  # (B, L, H)
-        phase = jnp.cumsum(rad_down, axis=1) * 2.0 * np.pi
-        phase_up = upsample_nearest(phase * up, up)  # (B, L*480, H) 'nearest' causal mode
-        sines = jnp.sin(phase_up)
+        if self.variant == "sinegen1":
+            # SineGen: cumsum of rad at sample rate, wrapped mod 1 before the
+            # 2*pi multiply (generator.py:168-176)
+            fn_up = f0_up * harmonic_mult  # (B, L*up, H)
+            theta = 2.0 * np.pi * jnp.mod(jnp.cumsum(fn_up / c.sampling_rate, axis=1), 1.0)
+            phase_vec = jnp.asarray((rand_ini[0] * 2.0 - 1.0) * np.pi).at[0].set(0.0)
+            sines = jnp.sin(theta + phase_vec)
+        else:
+            # SineGen2: rad = (fn/sr) % 1 at sample rate, rand_ini on the
+            # first sample, linear downsample x(1/up), cumsum at frame rate,
+            # phase*(up) upsampled back (generator.py:239-258)
+            fn = f0_frame[..., None] * harmonic_mult  # (B, L, H)
+            rad = jnp.mod(fn / c.sampling_rate, 1.0)
+            rad_up = upsample_nearest(rad, up)
+            rad_up = rad_up.at[:, 0, :].add(jnp.asarray(rand_ini[0]))
+            rad_down = downsample_linear(rad_up, up)  # (B, L, H)
+            phase = jnp.cumsum(rad_down, axis=1) * 2.0 * np.pi
+            if self.variant == "sinegen2_causal":
+                phase_up = upsample_nearest(phase * up, up)
+            else:  # non-causal: F.interpolate(..., mode='linear')
+                phase_up = upsample_linear(phase * up, up)
+            sines = jnp.sin(phase_up)
 
-        f0_up = upsample_nearest(f0_frame[..., None], up)  # (B, L*480, 1)
         uv = (f0_up > c.nsf_voiced_threshold).astype(sines.dtype)
         noise_amp = uv * c.nsf_sigma + (1.0 - uv) * c.nsf_alpha / 3.0
-        n_samp = sines.shape[1]
-        noise = noise_amp * jnp.asarray(uniform_noise[:, :n_samp], sines.dtype)
+        if self.variant == "sinegen2_causal":
+            noise = noise_amp * jnp.asarray(uniform_noise[:, :n_samp], sines.dtype)
+        else:
+            noise = noise_amp * jnp.asarray(nsf_gauss_noise(n_samp, hplus), sines.dtype)
         sine_waves = sines * c.nsf_alpha * uv + noise
 
         merged = nn.Dense(1, name="l_linear", dtype=sines.dtype)(sine_waves)
-        return jnp.tanh(merged)  # (B, L*480, 1)
+        return jnp.tanh(merged)  # (B, L*up, 1)
 
 
 class F0Predictor(nn.Module):
@@ -266,7 +300,9 @@ class HiFT(nn.Module):
     def setup(self):
         c = self.cfg
         self.f0_predictor = F0Predictor(c.in_channels, c.f0_cond_channels)
-        self.m_source = SourceModule(c)
+        # generator.py:422-425: SineGen type '1' at 22050 Hz (v1), else
+        # non-causal SineGen2 (v2)
+        self.m_source = SourceModule(c, variant="sinegen1" if c.sampling_rate == 22050 else "sinegen2")
         self.conv_pre = PlainConv(c.in_channels, c.base_channels, 7)
 
         ups, source_downs, source_res, res = [], [], [], []
@@ -281,7 +317,7 @@ class HiFT(nn.Module):
             if du == 1:
                 source_downs.append(PlainConv(nfft2, ch_out, 1, name=f"source_downs_{i}"))
             else:
-                source_downs.append(PlainConv(nfft2, ch_out, du * 2, stride=du, name=f"source_downs_{i}"))
+                source_downs.append(PlainConv(nfft2, ch_out, du * 2, stride=du, pad=du // 2, name=f"source_downs_{i}"))
             source_res.append(
                 ResBlock(ch_out, c.source_resblock_kernel_sizes[i], c.source_resblock_dilation_sizes[i], causal=False, name=f"source_resblocks_{i}")
             )
@@ -298,14 +334,25 @@ class HiFT(nn.Module):
         self.resblocks = res
         self.conv_post = PlainConv(c.base_channels // (2 ** len(c.upsample_rates)), nfft2, 7)
 
-    def __call__(self, mel: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """mel: (B, L, 80) -> (audio (B, L*hop), source)."""
-        from ..ops.convs import conv_transpose1d
+    def __call__(self, mel: jnp.ndarray, cache_source: jnp.ndarray | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """mel: (B, L, 80) -> (audio (B, L*hop), source).
 
+        `cache_source` (B, Lc, 1) replaces the first Lc source samples with
+        the previous chunk's NSF source (generator.py:553-560 inference) so
+        the sine phase is continuous across streaming chunks."""
         c = self.cfg
         f0 = self.f0_predictor(mel.astype(jnp.float32))
         s = self.m_source(f0).astype(mel.dtype)
+        if cache_source is not None and cache_source.shape[1] > 0:
+            lc = cache_source.shape[1]
+            s = jnp.concatenate([cache_source.astype(s.dtype), s[:, lc:]], axis=1)
+        return self.decode(mel, s), s
 
+    def decode(self, mel: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+        """generator.py:519-551 decode: mel + NSF source -> waveform."""
+        from ..ops.convs import conv_transpose1d
+
+        c = self.cfg
         win = jnp.asarray(hann_window(c.istft_n_fft))
         s_real, s_imag = stft(s[..., 0], c.istft_n_fft, c.istft_hop_len, win, center=True)
         s_stft = jnp.concatenate([s_real, s_imag], axis=1).transpose(0, 2, 1)
@@ -334,7 +381,7 @@ class HiFT(nn.Module):
         magnitude = jnp.clip(jnp.exp(x[..., :nbins].transpose(0, 2, 1)), max=1e2)
         phase = jnp.sin(x[..., nbins:]).transpose(0, 2, 1)
         audio = istft(magnitude * jnp.cos(phase), magnitude * jnp.sin(phase), c.istft_n_fft, c.istft_hop_len, win)
-        return jnp.clip(audio, -c.audio_limit, c.audio_limit), s
+        return jnp.clip(audio, -c.audio_limit, c.audio_limit)
 
 
 class CausalHiFT(nn.Module):

@@ -54,9 +54,13 @@ class TransformerLM(nn.Module):
         self.llm_embedding = nn.Embed(2, self.llm_input_size, name="llm_embedding")  # sos=0, task=1
         self.spk_embed_affine_layer = nn.Dense(self.llm_input_size, name="spk_embed_affine_layer")
         self.speech_embedding = nn.Embed(self.speech_token_size, self.llm_input_size, name="speech_embedding")
+        # the v1 LM stack is a TransformerEncoder (conf/cosyvoice.yaml llm.llm):
+        # relu FFN (encoder.py:360) + 'linear_legacy' input (extra ReLU,
+        # subsampling.py:338-360); layers are otherwise identical to a
+        # conformer block without macaron/cnn
         self.llm = ConformerEncoder(
             dim=self.llm_output_size, heads=self.heads, ffn_hidden=self.ffn, num_blocks=self.llm_blocks,
-            macaron=False, use_cnn=False, name="llm",
+            macaron=False, use_cnn=False, ffn_act="relu", legacy_embed=True, name="llm",
         )
         self.llm_decoder = nn.Dense(self.speech_token_size + 1, name="llm_decoder")
 
@@ -133,6 +137,30 @@ def v1_generate(
     chunk: int = 32,
 ) -> np.ndarray:
     """AR decode by bucketed-prefix recompute (llm.py:166-227 semantics)."""
+    return np.asarray(
+        list(
+            v1_generate_stream(
+                model, params, text_tokens, embedding, prompt_speech, key,
+                min_token_text_ratio, max_token_text_ratio, chunk,
+            )
+        ),
+        np.int32,
+    )
+
+
+def v1_generate_stream(
+    model: TransformerLM,
+    params: Any,
+    text_tokens: np.ndarray,
+    embedding: np.ndarray,
+    prompt_speech: np.ndarray = np.zeros(0, np.int32),
+    key: jax.Array | None = None,
+    min_token_text_ratio: float = 2.0,
+    max_token_text_ratio: float = 20.0,
+    chunk: int = 32,
+):
+    """Incremental v1 decode: yields speech tokens one by one (the llm_job
+    generator contract, cli/model.py:101-129)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     bound = model.bind({"params": params})
     lt = len(text_tokens)
@@ -171,4 +199,4 @@ def v1_generate(
         if tok == model.speech_token_size:
             break
         out.append(tok)
-    return np.asarray(out[n_prompt:], np.int32)
+        yield tok

@@ -40,6 +40,33 @@ def _mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
+class MaskedGroupNorm(nn.Module):
+    """torch GroupNorm whose statistics count only valid time positions.
+
+    The reference runs inference on EXACT-length (B=1, unpadded) tensors, so
+    its GroupNorm stats cover exactly the valid region; we run on padded
+    buckets (one XLA program per bucket instead of per length), so the stats
+    must be masked to match (decoder.py Block1D -> matcha decoder.py:32)."""
+
+    groups: int
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, h, mask):  # (B, T, C); mask (B, T, 1)
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        b, l, c = h.shape
+        g = self.groups
+        m = mask.reshape(b, l, 1, 1).astype(h.dtype)
+        hg = h.reshape(b, l, g, c // g) * m
+        cnt = jnp.maximum(m.sum(axis=1, keepdims=True) * (c // g), 1.0)
+        mean = hg.sum(axis=(1, 3), keepdims=True) / cnt
+        var = (((hg - mean) * m) ** 2).sum(axis=(1, 3), keepdims=True) / cnt
+        out = (hg - mean) / jnp.sqrt(var + self.eps)
+        return out.reshape(b, l, c) * scale.astype(h.dtype) + bias.astype(h.dtype)
+
+
 class Block1D(nn.Module):
     dim_out: int
     groups: int = 8
@@ -55,9 +82,9 @@ class Block1D(nn.Module):
             h = causal_conv1d_left(h, k.astype(x.dtype), b.astype(x.dtype))
             h = nn.LayerNorm(name="norm")(h)
         else:
-            # matcha Block1D: conv + GroupNorm(8) + Mish
+            # matcha Block1D: conv + GroupNorm(8) + Mish (masked stats)
             h = conv1d(h, k.astype(x.dtype), b.astype(x.dtype), padding=1)
-            h = nn.GroupNorm(num_groups=self.groups, name="norm")(h)
+            h = MaskedGroupNorm(self.groups, self.dim_out, name="norm")(h, mask)
         return _mish(h) * mask
 
 

@@ -168,3 +168,118 @@ class ASRRewardClient:
                 hyp = json.loads(resp.read()).get("text", "")
             scores.append(-cer(text, hyp))
         return np.asarray(scores, np.float32)
+
+
+# ------------------------------------------------------------ rollout driver
+# The reference delegates rollouts to veRL+vLLM (examples/grpo/cosyvoice2/
+# run.sh stage 2) and scores them via a Triton token2wav+ASR server
+# (token2wav_asr_server.py). Here the rollouts ride the batched scan decoder
+# (K rollouts per prompt on the batch dim — one device program), synthesis
+# reuses the serving flow/vocoder stages, and the reward is any callable.
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+_SEQ_LOGPS_JIT = None
+
+
+def _jitted_sequence_logps():
+    # ONE module-level jit wrapper: jax.jit caches by function identity, so
+    # wrapping per call would retrace every iteration
+    global _SEQ_LOGPS_JIT
+    if _SEQ_LOGPS_JIT is None:
+        _SEQ_LOGPS_JIT = jax.jit(sequence_logps, static_argnums=0)
+    return _SEQ_LOGPS_JIT
+
+
+def generate_rollouts(
+    model: CosyVoice3LM,
+    params: Any,
+    plans: list,  # list[Plan] prompt plans (data.lm_plan.build_prompt_plan)
+    group_size: int,
+    key: jax.Array,
+    min_ratio: float = 2.0,
+    max_ratio: float = 20.0,
+    text_lens: list[int] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """K rollouts per prompt in ONE device call. Returns (tokens (N, Tmax),
+    lens (N,)) with N = len(plans) * group_size."""
+    from ..data.lm_plan import pad_plans_left
+    from ..models.llm import generate_speech_tokens
+
+    rep = [p for p in plans for _ in range(group_size)]
+    tlens = text_lens or [max(int((p.src == 0).sum()), 1) for p in plans]
+    tlens = [t for t in tlens for _ in range(group_size)]
+    tp = _round_up(max(len(p.ids) for p in rep), 32)
+    batch = pad_plans_left(rep, length=tp)
+    min_lens = np.asarray([int(t * min_ratio) for t in tlens], np.int32)
+    max_lens = np.asarray([int(t * max_ratio) for t in tlens], np.int32)
+    max_new = max(_round_up(int(max_lens.max()), 64), 64)
+    res = generate_speech_tokens(
+        model, params,
+        jnp.asarray(batch["src"]), jnp.asarray(batch["ids"]), jnp.asarray(batch["lengths"]),
+        jnp.asarray(min_lens), jnp.asarray(max_lens),
+        key, max_new_tokens=max_new, cache_len=_round_up(tp + max_new, 128),
+    )
+    return np.asarray(res.tokens), np.asarray(res.num_tokens)
+
+
+def make_rollout_batch(
+    model: CosyVoice3LM,
+    rollout_params: Any,
+    plans: list,
+    group_size: int,
+    rollout_tokens: np.ndarray,
+    rollout_lens: np.ndarray,
+    rewards: np.ndarray,
+) -> dict:
+    """Assemble the make_grpo_step batch: right-padded prompt plans +
+    old_logps teacher-forced under the rollout policy."""
+    from ..data.lm_plan import pad_plans_right
+
+    rep = [p for p in plans for _ in range(group_size)]
+    tp = _round_up(max(len(p.ids) for p in rep), 32)
+    b = pad_plans_right(rep, length=tp)
+    tr = _round_up(max(int(rollout_lens.max()), 1), 32)
+    tokens = jnp.asarray(rollout_tokens[:, :tr])
+    lens = jnp.asarray(rollout_lens, jnp.int32)
+    old_logps = _jitted_sequence_logps()(
+        model, rollout_params, jnp.asarray(b["src"]), jnp.asarray(b["ids"]),
+        jnp.asarray(b["lengths"]), jnp.asarray(b["lengths"]), tokens, lens,
+    )
+    return {
+        "src": jnp.asarray(b["src"]),
+        "ids": jnp.asarray(b["ids"]),
+        "lengths": jnp.asarray(b["lengths"]),
+        "rollout_tokens": tokens,
+        "rollout_lens": lens,
+        "old_logps": jax.lax.stop_gradient(old_logps),
+        "rewards": jnp.asarray(rewards, jnp.float32),
+    }
+
+
+def grpo_iteration(
+    model: CosyVoice3LM,
+    state,  # TrainState (params = current policy)
+    step_fn: Callable,
+    plans: list,
+    texts: list[str],
+    reward_fn: Callable,  # (wavs, texts) -> (N,) rewards
+    token2wav_fn: Callable,  # (tokens np (L,)) -> wav np (T,)
+    group_size: int,
+    key: jax.Array,
+) -> tuple[Any, dict]:
+    """One full GRPO iteration: rollout -> synthesize -> reward -> update.
+
+    Matches the reference loop's semantics (veRL GRPO over cosyvoice2 with
+    reward_tts.py CER scoring) with the rollout policy == current policy
+    (on-policy, single update per batch)."""
+    tokens, lens = generate_rollouts(model, state.params, plans, group_size, key)
+    wavs = [token2wav_fn(tokens[i, : lens[i]]) for i in range(len(lens))]
+    rep_texts = [t for t in texts for _ in range(group_size)]
+    rewards = np.asarray(reward_fn(wavs, rep_texts), np.float32)
+    batch = make_rollout_batch(model, state.params, plans, group_size, tokens, lens, rewards)
+    state, metrics = step_fn(state, batch)
+    return state, {k: float(v) for k, v in metrics.items()}

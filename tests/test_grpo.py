@@ -58,3 +58,89 @@ def test_grpo_step_runs_and_updates(rng):
     np.testing.assert_allclose(float(m["kl"]), 0.0, atol=1e-5)
     moved = max(jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), params, state.params)))
     assert moved > 0
+
+
+def test_full_grpo_iteration_with_synthesis(rng):
+    """One complete rollout->synthesize->reward->update iteration on a tiny
+    CosyVoice3 stack with a stubbed reward (examples/grpo/cosyvoice2/run.sh
+    stage 2 smoke)."""
+    import optax
+
+    from fangyan_tts_tpu.config import CosyVoiceConfig, DiTConfig, FlowConfig, HiFTConfig
+    from fangyan_tts_tpu.data.lm_plan import build_prompt_plan
+    from fangyan_tts_tpu.infer.tts import CosyVoice3TTS
+    from fangyan_tts_tpu.train.grpo import grpo_iteration
+    from fangyan_tts_tpu.train.trainer import init_state
+
+    tiny = CosyVoiceConfig(
+        llm=CFG,
+        flow=FlowConfig(vocab_size=50, n_timesteps=2,
+                        dit=DiTConfig(dim=64, depth=1, heads=4, dim_head=16, static_chunk_size=10)),
+        hift=HiFTConfig(base_channels=32, f0_cond_channels=16),
+        chunk_size=5,
+    )
+    tts = CosyVoice3TTS.random_init(tiny, dtype=jnp.float32)
+    model = tts.llm
+
+    tx = optax.adamw(1e-4)
+    state = init_state(tts.llm_params, tx)
+    from fangyan_tts_tpu.train.grpo import make_grpo_step
+
+    step_fn = make_grpo_step(model, tts.llm_params, tx, GRPOConfig(group_size=2))
+
+    texts = ["abcd", "efgh"]
+    plans = [build_prompt_plan(CFG, [10 + i, 20 + i, 30 + i], []) for i in range(2)]
+
+    def token2wav_fn(tokens):
+        mel = tts.token2mel(np.asarray(tokens, np.int32), np.zeros(0, np.int32),
+                            np.zeros((0, 80), np.float32), np.zeros(192, np.float32))
+        return tts.vocode(mel)
+
+    def reward_fn(wavs, rep_texts):
+        # longer synthesized audio -> higher reward (deterministic stub)
+        return np.asarray([len(w) / 48000.0 for w in wavs], np.float32)
+
+    state, metrics = grpo_iteration(
+        model, state, step_fn, plans, texts, reward_fn, token2wav_fn,
+        group_size=2, key=jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(metrics["loss"])
+    assert "reward_mean" in metrics and metrics["reward_mean"] > 0
+    assert int(state.step) == 1
+    # params actually moved
+    delta = jax.tree.reduce(
+        lambda a, b: a + b, jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), state.params, tts.llm_params)
+    )
+    assert delta > 0
+
+
+def test_token2wav_asr_server_roundtrip(rng):
+    """The /score and /asr routes against a tiny model + echo ASR."""
+    import json as json_mod
+    import urllib.request
+
+    from fangyan_tts_tpu.config import CosyVoiceConfig, DiTConfig, FlowConfig, HiFTConfig
+    from fangyan_tts_tpu.infer.tts import CosyVoice3TTS
+    from fangyan_tts_tpu.runtime.token2wav_asr_server import make_asr_fn, serve
+
+    tiny = CosyVoiceConfig(
+        llm=CFG,
+        flow=FlowConfig(vocab_size=50, n_timesteps=2,
+                        dit=DiTConfig(dim=64, depth=1, heads=4, dim_head=16, static_chunk_size=10)),
+        hift=HiFTConfig(base_channels=32, f0_cond_channels=16),
+        chunk_size=5,
+    )
+    tts = CosyVoice3TTS.random_init(tiny, dtype=jnp.float32)
+    httpd = serve(tts, make_asr_fn("echo"), port=50199)
+    try:
+        payload = json_mod.dumps({"tokens": rng.integers(0, 50, 12).tolist(), "text": "你好"}).encode()
+        req = urllib.request.Request("http://localhost:50199/score", data=payload,
+                                     headers={"Content-Type": "application/json"})
+        out = json_mod.loads(urllib.request.urlopen(req, timeout=120).read())
+        assert out["reward"] == -1.0  # echo ASR transcribes "" -> CER 1
+        req = urllib.request.Request("http://localhost:50199/token2wav", data=payload,
+                                     headers={"Content-Type": "application/json"})
+        wav = urllib.request.urlopen(req, timeout=120).read()
+        assert wav[:4] == b"RIFF" and len(wav) > 1000
+    finally:
+        httpd.shutdown()
