@@ -20,6 +20,7 @@ def main(argv=None) -> None:
     p.add_argument("--max_frames_in_batch", type=int, default=2000)
     p.add_argument("--log_interval", type=int, default=100)
     p.add_argument("--seed", type=int, default=1986)
+    p.add_argument("--mesh", default="dp=1", help="e.g. dp=8 (pure data parallel; the vocoder is small)")
     args = p.parse_args(argv)
 
     import jax
@@ -45,9 +46,16 @@ def main(argv=None) -> None:
     disc = MultipleDiscriminator()
     gen_params = fast_init(hift, args.seed, jnp.zeros((1, 16, 80)))
     disc_params = disc.init(jax.random.PRNGKey(args.seed + 1), jnp.zeros((1, 4800)), jnp.zeros((1, 4800)))["params"]
+    from ..parallel.mesh import make_mesh
+    from ..train.gan import shard_gan_state
+    from .train import parse_mesh
+
+    mesh = make_mesh(**parse_mesh(args.mesh))
     gen_tx, disc_tx = optax.adam(args.lr), optax.adam(args.lr_d)
     state = init_gan_state(gen_params, disc_params, gen_tx, disc_tx)
-    gen_step, disc_step = make_hifigan_steps(hift, disc, gen_tx, disc_tx)
+    if mesh is not None:
+        state = shard_gan_state(state, mesh)
+    gen_step, disc_step = make_hifigan_steps(hift, disc, gen_tx, disc_tx, mesh=mesh)
 
     tokenizer = get_qwen_tokenizer(args.tokenizer_path)
     mel_fn = jax.jit(lambda a: matcha_mel(jnp.asarray(a)))

@@ -79,10 +79,15 @@ def make_hifigan_steps(
     fm_weight: float = 2.0,
     tpr_weight: float = 1.0,
     tpr_tau: float = 0.04,
+    mesh=None,
 ) -> tuple[Callable, Callable]:
     """Returns (generator_step, discriminator_step), each jitted:
     step(state, batch) -> (state, metrics). batch: speech (B, T),
-    speech_feat (B, L, 80), pitch_feat (B, L)."""
+    speech_feat (B, L, 80), pitch_feat (B, L).
+
+    With `mesh`, batches shard over the data axes and params stay replicated
+    (pure DP — the vocoder is ~20M params, the reference trains it DDP,
+    utils/train_utils.py:94-141); XLA inserts the gradient psums."""
 
     def run_generator(gen_params, batch):
         return hift.apply({"params": gen_params}, batch["speech_feat"], method=CausalHiFT.forward_train)
@@ -112,21 +117,46 @@ def make_hifigan_steps(
         l_tpr = tpr_loss(y_d_rs, y_d_gs, tpr_tau) if tpr_weight != 0 else 0.0
         return l_disc + tpr_weight * l_tpr, {"loss_disc": l_disc}
 
-    @jax.jit
     def generator_step(state: GANState, batch):
         (loss, aux), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(state.gen_params, state.disc_params, batch)
         updates, gen_opt = gen_tx.update(grads, state.gen_opt, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, updates)
         return state._replace(step=state.step + 1, gen_params=gen_params, gen_opt=gen_opt), {"loss": loss, **aux}
 
-    @jax.jit
     def discriminator_step(state: GANState, batch):
         (loss, aux), grads = jax.value_and_grad(disc_loss_fn, has_aux=True)(state.disc_params, state.gen_params, batch)
         updates, disc_opt = disc_tx.update(grads, state.disc_opt, state.disc_params)
         disc_params = optax.apply_updates(state.disc_params, updates)
         return state._replace(disc_params=disc_params, disc_opt=disc_opt), {"loss": loss, **aux}
 
-    return generator_step, discriminator_step
+    return _jit_gan_step(generator_step, mesh), _jit_gan_step(discriminator_step, mesh)
+
+
+def _jit_gan_step(step: Callable, mesh) -> Callable:
+    if mesh is None:
+        return jax.jit(step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.sharding import batch_pspec
+
+    repl = NamedSharding(mesh, P())
+    bsh = batch_pspec(mesh)
+
+    def constrained(state, batch):
+        batch = jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, bsh), batch)
+        new_state, metrics = step(state, batch)
+        return new_state, jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, repl), metrics)
+
+    return jax.jit(constrained)
+
+
+def shard_gan_state(state: GANState, mesh) -> GANState:
+    """Replicate generator/discriminator params + opt states over the mesh
+    (pure DP; the models are small)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, repl), state)
 
 
 def init_gan_state(gen_params, disc_params, gen_tx, disc_tx) -> GANState:
