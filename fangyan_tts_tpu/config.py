@@ -154,6 +154,9 @@ class HiFTConfig:
     audio_limit: float = 0.99
     conv_pre_look_right: int = 4
     f0_cond_channels: int = 512
+    # windowed-streaming NSF noise buffer length (exact vs the reference's
+    # deterministic buffer up to this duration, wraps after — noise is iid)
+    stream_noise_seconds: int = 120
 
     @property
     def total_upsample(self) -> int:

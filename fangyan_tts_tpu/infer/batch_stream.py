@@ -1,0 +1,370 @@
+"""Batched concurrent streaming: N sessions ride one set of bs=N programs.
+
+The reference serves concurrent streams by replicating single-stream
+pipelines across Triton instances (runtime/triton_trtllm, c=4 streaming
+table README.md:95-124). On TPU the single-stream hop under-utilizes the
+MXU, so the TPU-native design batches the hot stages ACROSS sessions:
+
+- windowed flow hops (infer/stream.py FlowStream semantics) run as ONE
+  (B=N) prep+solve with per-row absolute noise offsets;
+- steady vocoder pushes run as ONE (B=N) windowed decode with stacked
+  tails and per-row NSF phase carries; inactive rows are masked so their
+  state is untouched.
+
+Young hops (the first ~3 per session) and finalize run per-slot through the
+exact single-stream machinery — sessions enter the batch once they reach
+steady state, which dominates long streams. Slots must share the prompt
+shape (P, pad): the standard case of one served voice. Exactness vs the
+sequential path is tested in tests/test_batch_stream.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.flow import CausalMaskedDiffWithDiT, cfm_solve
+from ..models.hift import CausalHiFT
+from .stream import FlowStream, VocStream
+
+
+class BatchedStreamGroup:
+    """N lockstep streaming sessions with batched windowed stages.
+
+    Usage:
+        g = BatchedStreamGroup(tts, [(ptok, pfeat, emb), ...])
+        g.feed(slot, tokens)           # buffer newly-decoded speech tokens
+        for slot, audio in g.step():   # advance every ready slot
+            ...
+        for slot in range(n):          # flush
+            tail = g.finish(slot)
+    """
+
+    def __init__(self, tts, slots):
+        self.t = tts
+        self.n = len(slots)
+        self.fs = []
+        self.vs = []
+        self.tokens = [np.zeros(0, np.int32) for _ in slots]
+        self.token_offset = [0] * self.n
+        self.done_feeding = [False] * self.n
+        p0 = len(np.asarray(slots[0][0]))
+        for ptok, pfeat, emb in slots:
+            ptok = np.asarray(ptok, np.int32)
+            assert len(ptok) == p0, "batched slots must share the prompt length"
+            pad = -len(ptok) % tts.cfg.chunk_size
+            self.fs.append(FlowStream(tts, ptok, pfeat, emb, pad))
+            self.vs.append(VocStream(tts))
+        f = self.fs[0]
+        self.hop, self.la, self.pad = f.hop, f.la, f.pad
+        self.H, self.W = f.H, f.W
+        # stacked steady vocoder state (rows valid once a slot passes push 3)
+        v = self.vs[0]
+        self.LA_V, self.TAIL, self.WIN, self.F0L = v.LA, v.TAIL, v.WIN, v.F0L
+        self.tails = jnp.zeros((self.n, self.TAIL, tts.cfg.hift.in_channels), tts.dtype)
+        self.carries = jnp.zeros((self.n, v.nh), jnp.float32)
+        self.pushes = [0] * self.n
+        # stacked per-slot conditioning for the batched flow
+        self.pf = jnp.concatenate([f.prompt_feat for f in self.fs], axis=0)
+        self.emb = jnp.concatenate([f.emb for f in self.fs], axis=0)
+        if not hasattr(tts, "_batch_jit"):
+            tts._batch_jit = {}
+
+    # ---- batched programs -------------------------------------------------
+
+    def _flow_batch_fn(self):
+        t = self.t
+        key = ("bflow", self.n, self.fs[0].P, self.pad)
+        if key not in t._batch_jit:
+            flow, fcfg = t.flow, t.cfg.flow
+            W, la, ratio, pad, P = self.W, self.la, self.fs[0].ratio, self.pad, self.fs[0].P
+            P_mel = int(self.pf.shape[1])
+            n_tok = P + W + la
+            l_mel = (P + W) * ratio
+            h = self.H
+
+            @jax.jit
+            def fn(p, token_win, pf, pf_len, emb, noise_buf, tgt_starts):
+                mu, spks, conds, mel_len = flow.apply(
+                    {"params": p}, token_win, jnp.full((token_win.shape[0],), n_tok, jnp.int32),
+                    pf, pf_len, emb, finalize=False,
+                    method=CausalMaskedDiffWithDiT.prepare_inference,
+                )
+                zp = jnp.broadcast_to(noise_buf[:, :P_mel], (token_win.shape[0], P_mel, noise_buf.shape[2]))
+                idx = P_mel + tgt_starts[:, None] * ratio + jnp.arange(W * ratio)[None, :]
+                zt = noise_buf[0][idx]  # (B, W*ratio, mel)
+                z = jnp.concatenate([zp, zt], axis=1).astype(mu.dtype)
+                mel = cfm_solve(fcfg, p["estimator"], z, mu, spks, conds, mel_len, streaming=True)
+                end = l_mel - 2 * pad
+                return mel[:, end - h : end]  # (B, H, 80) newest grid hop per row
+
+            t._batch_jit[key] = fn
+        return t._batch_jit[key]
+
+    def _flow_young_batch_fn(self, consumed: int):
+        """Batched young hop: all rows share the same target prefix length
+        (lockstep sessions) — the bs=N rendition of the per-slot exact
+        full-prefix chunk program."""
+        t = self.t
+        key = ("byoung", self.n, self.fs[0].P, self.pad, consumed)
+        if key not in t._batch_jit:
+            flow, fcfg = t.flow, t.cfg.flow
+            la, ratio, P = self.la, self.fs[0].ratio, self.fs[0].P
+            P_mel = int(self.pf.shape[1])
+            n_tok = P + consumed + la
+            h = self.H
+            k = (consumed - self.pad) // self.hop  # hop index; emit [H*(k-1), H*k)
+
+            @jax.jit
+            def fn(p, token_win, pf, pf_len, emb, noise_buf):
+                mu, spks, conds, mel_len = flow.apply(
+                    {"params": p}, token_win, jnp.full((token_win.shape[0],), n_tok, jnp.int32),
+                    pf, pf_len, emb, finalize=False,
+                    method=CausalMaskedDiffWithDiT.prepare_inference,
+                )
+                l_mel = (P + consumed) * ratio
+                z = jnp.broadcast_to(noise_buf[:, :l_mel], (token_win.shape[0], l_mel, noise_buf.shape[2])).astype(mu.dtype)
+                mel = cfm_solve(fcfg, p["estimator"], z, mu, spks, conds, mel_len, streaming=True)
+                return mel[:, P_mel + h * (k - 1) : P_mel + h * k]
+
+            t._batch_jit[key] = fn
+        return t._batch_jit[key]
+
+    def _voc_batch_fn(self):
+        t = self.t
+        key = ("bvoc", self.n)
+        if key not in t._batch_jit:
+            hift = t.hift
+            H, LA, WIN, F0L, TAIL = self.H, self.LA_V, self.WIN, self.F0L, self.TAIL
+
+            @jax.jit
+            def fn(params, tails, mels, carries, offs, active, noise_buf):
+                new_tails = jnp.concatenate([tails, mels], axis=1)[:, -TAIL:]
+                windows = new_tails[:, LA : LA + WIN]
+                audio = hift.apply(
+                    {"params": params}, windows, carries, offs, noise_buf,
+                    method=CausalHiFT.stream_window,
+                )
+                delta = hift.apply(
+                    {"params": params}, new_tails[:, LA - F0L : LA + H + 3], n_left=F0L,
+                    method=CausalHiFT.rad_delta,
+                )
+                new_carries = jnp.mod(carries + delta, 1.0)
+                emit = audio[:, H * 480 : 2 * H * 480]
+                m3 = active[:, None, None]
+                new_tails = jnp.where(m3, new_tails, tails)
+                new_carries = jnp.where(active[:, None], new_carries, carries)
+                return new_tails, emit, new_carries
+
+            t._batch_jit[key] = fn
+        return t._batch_jit[key]
+
+    # ---- session API ------------------------------------------------------
+
+    def feed(self, slot: int, new_tokens: np.ndarray) -> None:
+        self.tokens[slot] = np.concatenate([self.tokens[slot], np.asarray(new_tokens, np.int32)])
+
+    def _hop_ready(self, slot: int) -> bool:
+        this_hop = self.hop + self.pad if self.token_offset[slot] == 0 else self.hop
+        return len(self.tokens[slot]) - self.token_offset[slot] >= this_hop + self.la
+
+    def step(self) -> list:
+        """Advance every slot with a ready hop; batches the windowed stages.
+        Returns [(slot, np.float32 audio chunk), ...]."""
+        out = []
+        batch_rows = []  # (slot, tgt_start) for the batched windowed flow
+        young_groups: dict = {}  # consumed -> [slots] for batched young hops
+        mel_hops: dict = {}
+        for i in range(self.n):
+            if not self._hop_ready(i):
+                continue
+            f = self.fs[i]
+            k = f.hops_done + 1
+            consumed = self.hop * k + self.pad
+            s = consumed - self.W
+            if s >= 0 and self.pushes[i] >= 3:
+                batch_rows.append((i, s))
+            elif s >= 0:
+                mel_hops[i] = f.step(self.tokens[i])
+                self.token_offset[i] = consumed
+            else:
+                young_groups.setdefault(consumed, []).append(i)
+
+        for consumed, slots in young_groups.items():
+            if len(slots) == 1:  # singleton: per-slot exact path
+                i = slots[0]
+                mel_hops[i] = self.fs[i].step(self.tokens[i])
+                self.token_offset[i] = consumed
+                continue
+            fn = self._flow_young_batch_fn(consumed)
+            tok = np.zeros((self.n, self.fs[0].P + consumed + self.la), np.int32)
+            for i in slots:
+                tok[i] = np.concatenate(
+                    [self.fs[i].prompt_tokens, self.tokens[i][: consumed + self.la]]
+                )
+            pf_len = jnp.full((self.n,), self.pf.shape[1], jnp.int32)
+            mels = fn(self.t.flow_params, jnp.asarray(tok), self.pf, pf_len, self.emb,
+                      self.fs[0]._noise_buf())
+            for i in slots:
+                self.fs[i].hops_done += 1
+                self.token_offset[i] = consumed
+                mel_hops[i] = mels[i : i + 1]
+
+        if batch_rows:
+            fn = self._flow_batch_fn()
+            tok = np.zeros((self.n, self.fs[0].P + self.W + self.la), np.int32)
+            starts = np.zeros(self.n, np.int32)
+            active = np.zeros(self.n, bool)
+            for i, s in batch_rows:
+                f = self.fs[i]
+                consumed = s + self.W
+                tok[i] = np.concatenate([f.prompt_tokens, self.tokens[i][s : consumed + self.la]])
+                starts[i] = s
+                active[i] = True
+            pf_len = jnp.full((self.n,), self.pf.shape[1], jnp.int32)
+            mels = fn(self.t.flow_params, jnp.asarray(tok), self.pf, pf_len, self.emb,
+                      self.fs[0]._noise_buf(), jnp.asarray(starts))
+            for i, s in batch_rows:
+                self.fs[i].hops_done += 1
+                self.token_offset[i] = s + self.W
+                mel_hops[i] = mels[i : i + 1]
+
+        # vocoder: batch steady rows, per-slot young rows
+        steady = [i for i in mel_hops if self.pushes[i] >= 3]
+        young = [i for i in mel_hops if self.pushes[i] < 3]
+        for i in young:
+            a = self._young_push(i, mel_hops[i])
+            if a is not None and len(a):
+                out.append((i, a))
+        if steady:
+            fn = self._voc_batch_fn()
+            mels = jnp.concatenate(
+                [
+                    mel_hops[i].astype(self.t.dtype) if i in steady
+                    else jnp.zeros((1, self.H, self.t.cfg.hift.in_channels), self.t.dtype)
+                    for i in range(self.n)
+                ],
+                axis=0,
+            )
+            offs = np.zeros(self.n, np.int32)
+            active = np.zeros(self.n, bool)
+            for i in steady:
+                self.pushes[i] += 1
+                offs[i] = (self.pushes[i] * self.H - 3 * self.H) * 480
+                active[i] = True
+            self.tails, emit, self.carries = fn(
+                self.t.hift_params, self.tails, mels, self.carries,
+                jnp.asarray(offs), jnp.asarray(active), self.vs[0]._noise_buf(),
+            )
+            emit_np = np.asarray(emit.astype(jnp.float32))
+            for i in steady:
+                out.append((i, emit_np[i]))
+        return out
+
+    def _young_push(self, i: int, mel_h):
+        """Per-slot young vocoder push; on completing push 3 the slot's tail
+        and carry migrate into the stacked batch state."""
+        a = self.vs[i].push(mel_h)
+        self.pushes[i] = self.vs[i].k
+        if self.vs[i].k == 3:
+            self.tails = self.tails.at[i].set(self.vs[i].tail[0].astype(self.t.dtype))
+            self.carries = self.carries.at[i].set(self.vs[i].carry[0])
+        return a
+
+    def finish(self, slot: int) -> np.ndarray:
+        """Flush a slot (per-slot exact path on its extracted state)."""
+        f, v = self.fs[slot], self.vs[slot]
+        if self.pushes[slot] > 3:  # re-sync the bs1 VocStream from batch state
+            v.tail = self.tails[slot : slot + 1].astype(v.tail.dtype)
+            v.carry = self.carries[slot : slot + 1]
+            v.k = self.pushes[slot]
+            v.emitted = (v.k - 1) * self.H
+        f_pad, n_rem = f.finalize(self.tokens[slot])
+        return v.finalize(f_pad, n_rem)
+
+    def reset_slot(self, slot: int, prompt_token, prompt_feat, embedding) -> None:
+        """Recycle a finished slot for a new session (same prompt shape)."""
+        prompt_token = np.asarray(prompt_token, np.int32)
+        assert len(prompt_token) == self.fs[0].P, "slot recycling requires the group's prompt length"
+        pad = -len(prompt_token) % self.t.cfg.chunk_size
+        self.fs[slot] = FlowStream(self.t, prompt_token, prompt_feat, embedding, pad)
+        self.vs[slot] = VocStream(self.t)
+        self.tokens[slot] = np.zeros(0, np.int32)
+        self.token_offset[slot] = 0
+        self.pushes[slot] = 0
+        self.tails = self.tails.at[slot].set(0.0)
+        self.carries = self.carries.at[slot].set(0.0)
+        self.pf = self.pf.at[slot].set(self.fs[slot].prompt_feat[0])
+        self.emb = self.emb.at[slot].set(self.fs[slot].emb[0])
+
+
+class StreamScheduler:
+    """Serving front for batched streaming: live sessions are grouped by
+    prompt length into BatchedStreamGroups of fixed width; finished slots
+    are recycled. Thread-safe (one lock; device work is serialized anyway).
+
+    open(prompt...) -> handle; feed(handle, tokens) -> audio chunks for THAT
+    handle; close(handle) -> tail audio. Chunks produced for other handles
+    by a shared step are buffered until their owners call feed/close."""
+
+    def __init__(self, tts, width: int = 4):
+        import threading
+
+        self.t = tts
+        self.width = width
+        self.groups: dict = {}  # P -> list[BatchedStreamGroup]
+        self.sessions: dict = {}  # handle -> (group, slot)
+        self.buffers: dict = {}  # handle -> [np.ndarray]
+        self.free: dict = {}  # P -> [(group, slot)]
+        self._seq = 0
+        self._lock = threading.Lock()
+
+    def open(self, prompt_token, prompt_feat, embedding) -> int:
+        with self._lock:
+            p = len(np.asarray(prompt_token))
+            if self.free.get(p):
+                g, slot = self.free[p].pop()
+                g.reset_slot(slot, prompt_token, prompt_feat, embedding)
+            else:
+                slots = [(np.asarray(prompt_token, np.int32), prompt_feat, embedding)] * self.width
+                g = BatchedStreamGroup(self.t, slots)
+                self.groups.setdefault(p, []).append(g)
+                for s in range(1, self.width):
+                    self.free.setdefault(p, []).append((g, s))
+                slot = 0
+            self._seq += 1
+            h = self._seq
+            self.sessions[h] = (g, slot)
+            self.buffers[h] = []
+            g._owners = getattr(g, "_owners", {})
+            g._owners[slot] = h
+            return h
+
+    def _drain(self, g) -> None:
+        while True:
+            chunks = g.step()
+            if not chunks:
+                return
+            for slot, audio in chunks:
+                owner = g._owners.get(slot)
+                if owner is not None:
+                    self.buffers[owner].append(audio)
+
+    def feed(self, handle: int, tokens) -> list:
+        with self._lock:
+            g, slot = self.sessions[handle]
+            g.feed(slot, tokens)
+            self._drain(g)
+            out, self.buffers[handle] = self.buffers[handle], []
+            return out
+
+    def close(self, handle: int) -> np.ndarray:
+        with self._lock:
+            g, slot = self.sessions.pop(handle)
+            self._drain(g)
+            pending = self.buffers.pop(handle)
+            tail = g.finish(slot)
+            del g._owners[slot]
+            self.free.setdefault(len(g.fs[slot].prompt_tokens), []).append((g, slot))
+            return np.concatenate(pending + [tail]) if pending else tail

@@ -1,0 +1,365 @@
+"""Constant-cost streaming: windowed flow + windowed vocoder state machines.
+
+The reference's CV3 streaming loop re-runs the flow on the full token prefix
+and re-vocodes the full accumulated mel every 25-token hop
+(cli/model.py:416-441). Under XLA that is O(L^2) compute AND one compiled
+program per prefix length — unusable for long utterances. This module
+replaces both stages with fixed-shape windows:
+
+- FlowStream: young hops (prefix < window) run the exact full-prefix chunk
+  programs (bounded count); past the window the flow runs on
+  [prompt ++ last W target tokens ++ lookahead] — the same prompt-splice
+  the reference's v2 flow cache uses (flow/flow_matching.py:56-62) — with
+  the deterministic CFM noise indexed at ABSOLUTE mel positions so every
+  frame keeps its reference noise row. One XLA program per utterance shape,
+  O(window) per hop.
+
+- VocStream: a 158-frame device-resident mel tail + NSF phase carry. Every
+  hop pushes exactly H=50 mel frames; the vocoder decodes a 108-frame
+  window whose first 50 frames are warm-up context (causal receptive field
+  measured < 16 frames), the NSF source phase is continued across windows
+  via `CausalHiFT.rad_delta` sums (mod 1), and the additive noise is
+  indexed at absolute sample offsets — sample-exact vs full re-vocoding
+  (tests/test_stream_scale.py), with ~6 global XLA programs TOTAL (shared
+  by all utterances and prompts).
+
+Emission grid: audio frames [0,42) after hop 1, [42,92) after hop 2, [92,100)
+after hop 3, then exactly 50 frames (1 s of audio) per hop with one hop of
+vocoder lag; the finalize step flushes the remainder.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.flow import CausalMaskedDiffWithDiT, cfm_solve, fixed_cfm_noise
+from ..models.hift import CausalHiFT, nsf_buffers
+
+F_CAP = 128  # finalize mel remainder capacity (max remainder is < 104 frames)
+
+
+# ---------------------------------------------------------------------------
+# vocoder stream
+# ---------------------------------------------------------------------------
+
+
+class VocStream:
+    """Windowed streaming vocoder session. All jitted programs are cached on
+    the owning TTS object (`tts._voc_jit`) and have FIXED shapes — they are
+    compiled once ever, shared across utterances, prompts and sessions."""
+
+    F0L = 8  # f0 predictor left receptive field (4 causal k=3 convs)
+
+    def __init__(self, tts):
+        self.t = tts
+        c = tts.cfg
+        self.H = c.chunk_size * c.token_mel_ratio  # 50 mel frames per hop
+        # lookahead: 3 (f0 right ctx) + conv_pre_look_right + 1 (istft trim)
+        self.LA = 3 + c.hift.conv_pre_look_right + 1
+        self.TAIL = 3 * self.H + self.LA
+        self.WIN = 2 * self.H + self.LA
+        self.nh = c.hift.nb_harmonics + 1
+        self.k = 0  # pushes so far
+        self.tail = jnp.zeros((1, self.TAIL, c.hift.in_channels), tts.dtype)
+        self.carry = jnp.zeros((1, self.nh), jnp.float32)
+        self.emitted = 0  # mel frames worth of audio handed out
+        if not hasattr(tts, "_voc_jit"):
+            tts._voc_jit = {}
+
+    # -- jitted program builders (cached on the TTS object) -----------------
+
+    def _noise_buf(self):
+        t = self.t
+        if not hasattr(t, "_nsf_noise_dev"):
+            _, uniform, _ = nsf_buffers(self.nh)
+            n = t.cfg.hift.sampling_rate * t.cfg.hift.stream_noise_seconds
+            t._nsf_noise_dev = jnp.asarray(uniform[:, :n])
+        return t._nsf_noise_dev
+
+    def _push_fn(self, variant: str):
+        key = ("voc_push", variant)
+        if key not in self.t._voc_jit:
+            hift, H, LA, WIN, F0L = self.t.hift, self.H, self.LA, self.WIN, self.F0L
+
+            def f(params, tail, mel_h, carry, noise_off, noise_buf):
+                new_tail = jnp.concatenate([tail, mel_h], axis=1)[:, -tail.shape[1] :]
+                if variant == "young1":  # frames [0, H): emit [0, H-LA)
+                    audio, _ = hift.apply({"params": params}, new_tail[:, -H:], finalize=False)
+                    return new_tail, audio, carry
+                if variant == "young2":  # frames [0, 2H): emit [H-LA, 2H-LA)
+                    audio, _ = hift.apply({"params": params}, new_tail[:, -2 * H :], finalize=False)
+                    return new_tail, audio[:, (H - LA) * 480 :], carry
+                win = new_tail[:, LA : LA + WIN]
+                audio = hift.apply(
+                    {"params": params}, win, carry, noise_off, noise_buf, method=CausalHiFT.stream_window
+                )
+                if variant == "first":  # frames [0, 2H): emit [2H-LA, 2H)
+                    delta = hift.apply(
+                        {"params": params}, new_tail[:, LA : LA + H + 3], n_left=0, method=CausalHiFT.rad_delta
+                    )
+                    emit = audio[:, (2 * H - LA) * 480 : 2 * H * 480]
+                    new_carry = jnp.mod(delta, 1.0)
+                else:  # steady: window [a, a+WIN), emit [a+H, a+2H)
+                    delta = hift.apply(
+                        {"params": params},
+                        new_tail[:, LA - F0L : LA + H + 3],
+                        n_left=F0L,
+                        method=CausalHiFT.rad_delta,
+                    )
+                    emit = audio[:, H * 480 : 2 * H * 480]
+                    new_carry = jnp.mod(carry + delta, 1.0)
+                return new_tail, emit, new_carry
+
+            self.t._voc_jit[key] = jax.jit(f)
+        return self.t._voc_jit[key]
+
+    def _finalize_fn(self, k_base: int):
+        """k_base: mel frames taken from the tail (0/H/2H for young pushes
+        0/1/2, 2H for the steady regime)."""
+        key = ("voc_fin", k_base)
+        if key not in self.t._voc_jit:
+            hift = self.t.hift
+
+            def f(params, tail, f_pad, n_valid, carry, noise_off, noise_buf):
+                if k_base > 0:
+                    window = jnp.concatenate([tail[:, -k_base:], f_pad], axis=1)
+                else:
+                    window = f_pad
+                return hift.apply(
+                    {"params": params}, window, n_valid, carry, noise_off, noise_buf,
+                    method=CausalHiFT.finalize_window,
+                )
+
+            self.t._voc_jit[key] = jax.jit(f)
+        return self.t._voc_jit[key]
+
+    # -- session API --------------------------------------------------------
+
+    def push(self, mel_h: jnp.ndarray) -> np.ndarray | None:
+        """mel_h: (1, H, 80) device mel on the 50-frame grid. Returns the new
+        audio chunk (np.float32) or None (nothing emitted this push)."""
+        self.k += 1
+        H, LA = self.H, self.LA
+        if self.k == 1:
+            variant, off = "young1", 0
+        elif self.k == 2:
+            variant, off = "young2", 0
+        elif self.k == 3:
+            variant, off = "first", 0
+        else:
+            variant, off = "steady", (self.k * H - 3 * H) * 480
+        fn = self._push_fn(variant)
+        self.tail, audio, self.carry = fn(
+            self.t.hift_params, self.tail, mel_h.astype(self.t.dtype), self.carry,
+            jnp.asarray(off, jnp.int32), self._noise_buf(),
+        )
+        new_total = {1: H - LA, 2: 2 * H - LA, 3: 2 * H}.get(self.k, (self.k - 1) * H)
+        chunk = np.asarray(audio.astype(jnp.float32))[0]
+        self.emitted = new_total
+        return chunk
+
+    def finalize(self, f_pad: jnp.ndarray, n_rem: int) -> np.ndarray:
+        """f_pad: (1, F_CAP, 80) device mel holding the last n_rem (< F_CAP)
+        un-pushed frames (zero-padded). Returns the final audio chunk."""
+        H = self.H
+        if self.k >= 3:
+            k_base, carry, off = 2 * H, self.carry, (self.k * H - 2 * H) * 480
+        else:
+            k_base, carry, off = self.k * H, jnp.zeros_like(self.carry), 0
+        total = self.k * H + n_rem
+        if total == 0:
+            return np.zeros(0, np.float32)
+        n_valid = k_base + n_rem
+        fn = self._finalize_fn(k_base)
+        audio = fn(
+            self.t.hift_params, self.tail, f_pad.astype(self.t.dtype), jnp.asarray(n_valid, jnp.int32),
+            carry, jnp.asarray(off, jnp.int32), self._noise_buf(),
+        )
+        a = np.asarray(audio.astype(jnp.float32))[0]
+        start = self.emitted - (total - n_valid)  # window-relative emitted frames
+        return a[start * 480 : n_valid * 480]
+
+
+# ---------------------------------------------------------------------------
+# flow stream
+# ---------------------------------------------------------------------------
+
+
+class FlowStream:
+    """Streaming token->mel with a capped window. Young hops (target prefix
+    <= `window_tokens`) run the exact full-prefix chunk programs the
+    reference semantics prescribe; beyond that the flow runs on
+    [prompt ++ last window_tokens ++ lookahead] with absolute-position CFM
+    noise. Emits exactly H=50 mel frames per hop on the vocoder grid (the
+    2*prompt_pad newest frames are held back one hop so pushes stay
+    grid-aligned)."""
+
+    def __init__(self, tts, prompt_tokens: np.ndarray, prompt_feat, embedding, prompt_pad: int):
+        self.t = tts
+        c = tts.cfg
+        self.hop = c.chunk_size
+        self.la = c.flow.pre_lookahead_len
+        self.ratio = c.token_mel_ratio
+        self.H = self.hop * self.ratio
+        self.W = tts.stream_window_tokens
+        self.pad = prompt_pad
+        self.prompt_tokens = np.asarray(prompt_tokens, np.int32)
+        self.P = len(self.prompt_tokens)
+        self.prompt_feat = jnp.asarray(prompt_feat, tts.dtype)
+        if self.prompt_feat.ndim == 2:
+            self.prompt_feat = self.prompt_feat[None]
+        self.pf_len = jnp.asarray([self.prompt_feat.shape[1]], jnp.int32)
+        self.emb = jnp.asarray(embedding, jnp.float32)
+        if self.emb.ndim == 1:
+            self.emb = self.emb[None]
+        self.hops_done = 0  # completed hops; target tokens consumed = hop*k + pad (k>0)
+
+    def _noise_buf(self):
+        t = self.t
+        if not hasattr(t, "_cfm_noise_dev"):
+            t._cfm_noise_dev = jnp.asarray(fixed_cfm_noise(), t.dtype)
+        return t._cfm_noise_dev
+
+    def _window_fn(self, finalize: bool):
+        t = self.t
+        key = ("flow_win", self.P, self.pad, finalize)
+        if key not in t._flow_jit:
+            flow, fcfg = t.flow, t.cfg.flow
+            W, la, ratio, pad, P = self.W, self.la, self.ratio, self.pad, self.P
+            P_mel = int(self.prompt_feat.shape[1])
+            n_tok = P + W + (0 if finalize else la)
+            l_mel = (P + W) * ratio
+
+            @jax.jit
+            def prep(p, token, prompt_feat, pf_len, emb):
+                return flow.apply(
+                    {"params": p}, token, jnp.full((1,), n_tok, jnp.int32), prompt_feat, pf_len, emb,
+                    finalize=finalize, method=CausalMaskedDiffWithDiT.prepare_inference,
+                )
+
+            @jax.jit
+            def solve(p, z, mu, spks, conds, mel_len):
+                return cfm_solve(fcfg, p, z, mu, spks, conds, mel_len, streaming=True)
+
+            @jax.jit
+            def noise_fn(buf, tgt_start):
+                zp = buf[:, :P_mel]
+                zt = jax.lax.dynamic_slice_in_dim(buf, P_mel + tgt_start * ratio, W * ratio, axis=1)
+                return jnp.concatenate([zp, zt], axis=1)
+
+            if finalize:
+
+                @jax.jit
+                def emit(mel, n_rem):
+                    # last n_rem valid frames, left-aligned into (1, F_CAP, 80)
+                    padded = jnp.pad(mel, ((0, 0), (0, F_CAP), (0, 0)))
+                    return jax.lax.dynamic_slice_in_dim(padded, l_mel - n_rem, F_CAP, axis=1)
+
+            else:
+
+                @jax.jit
+                def emit(mel):
+                    h = self.H
+                    end = l_mel - 2 * pad
+                    return mel[:, end - h : end]
+
+            def fn(token_win, tgt_start, n_rem=None):
+                mu, spks, conds, mel_len = prep(t.flow_params, token_win, self.prompt_feat, self.pf_len, self.emb)
+                z = noise_fn(self._noise_buf(), jnp.asarray(tgt_start, jnp.int32)).astype(mu.dtype)
+                mel = solve(t.flow_params["estimator"], z, mu, spks, conds, mel_len)
+                return emit(mel, jnp.asarray(n_rem, jnp.int32)) if finalize else emit(mel)
+
+            t._flow_jit[key] = fn
+        return t._flow_jit[key]
+
+    def step(self, tokens: np.ndarray) -> jnp.ndarray:
+        """One hop. tokens: ALL target tokens so far (host). Consumes the next
+        hop (hop 1 additionally absorbs prompt_pad) and returns exactly
+        (1, H, 80) device mel on the vocoder grid."""
+        k = self.hops_done + 1
+        consumed = self.hop * k + (self.pad if k >= 1 else 0)
+        s = consumed - self.W  # target window start
+        if s >= 0:
+            win = np.concatenate(
+                [self.prompt_tokens, tokens[s : consumed + self.la]]
+            ).astype(np.int32)
+            mel_h = self._window_fn(False)(jnp.asarray(win[None]), s)
+        else:
+            chunk_tokens = tokens[: consumed + self.la]
+            mel = self.t.token2mel(
+                chunk_tokens, self.prompt_tokens, self.prompt_feat[0], self.emb[0],
+                streaming=True, finalize=False, device_out=True,
+            )  # (consumed*ratio, 80) target mel
+            mel_h = mel[(k - 1) * self.H : k * self.H][None]
+        self.hops_done = k
+        return mel_h
+
+    def finalize(self, tokens: np.ndarray) -> tuple[jnp.ndarray, int]:
+        """Final flow call over the remaining tokens. Returns (f_pad
+        (1, F_CAP, 80) device, n_rem) for VocStream.finalize."""
+        n_t = len(tokens)
+        # frames pushed so far = hops_done * H; total mel = n_t * ratio
+        n_rem = n_t * self.ratio - self.hops_done * self.H
+        assert 0 <= n_rem < F_CAP, f"streaming remainder {n_rem} out of range"
+        if n_rem == 0:
+            return jnp.zeros((1, F_CAP, 80), self.t.dtype), 0
+        if n_t >= self.W:
+            win = np.concatenate([self.prompt_tokens, tokens[n_t - self.W :]]).astype(np.int32)
+            f_pad = self._window_fn(True)(jnp.asarray(win[None]), n_t - self.W, n_rem)
+        else:
+            mel = self.t.token2mel(
+                tokens, self.prompt_tokens, self.prompt_feat[0], self.emb[0],
+                streaming=True, finalize=True, device_out=True,
+            )  # (n_t*ratio, 80)
+            padded = jnp.pad(mel[None], ((0, 0), (0, F_CAP), (0, 0)))
+            f_pad = jax.lax.dynamic_slice_in_dim(padded, self.hops_done * self.H, F_CAP, axis=1)
+        return f_pad, n_rem
+
+
+# ---------------------------------------------------------------------------
+# session: incremental tokens in -> audio chunks out
+# ---------------------------------------------------------------------------
+
+
+class Token2WavSession:
+    """One streaming utterance: push speech-token chunks as the LM emits
+    them, get audio chunks back; finish() flushes the tail. This is the
+    token2wav half of the reference's streaming loop (cli/model.py:325-441)
+    as an explicit state machine — used by CosyVoice3TTS.tts(stream=True),
+    the disaggregated runtime, and the /stream token2wav service."""
+
+    def __init__(self, tts, prompt_token, prompt_feat, embedding):
+        c = tts.cfg
+        self.hop = c.chunk_size
+        self.la = c.flow.pre_lookahead_len
+        prompt_token = np.asarray(prompt_token, np.int32)
+        self.prompt_pad = -len(prompt_token) % self.hop
+        self.fs = FlowStream(tts, prompt_token, prompt_feat, embedding, self.prompt_pad)
+        self.vs = VocStream(tts)
+        self.tokens = np.zeros(0, np.int32)
+        self.token_offset = 0
+        self.finished = False
+
+    def push(self, new_tokens: np.ndarray) -> list[np.ndarray]:
+        """Feed newly-decoded speech tokens; returns audio chunks that became
+        ready (possibly empty)."""
+        self.tokens = np.concatenate([self.tokens, np.asarray(new_tokens, np.int32)])
+        out = []
+        while True:
+            this_hop = self.hop + self.prompt_pad if self.token_offset == 0 else self.hop
+            if len(self.tokens) - self.token_offset < this_hop + self.la:
+                return out
+            mel_h = self.fs.step(self.tokens)
+            self.token_offset += this_hop
+            audio = self.vs.push(mel_h)
+            if audio is not None and len(audio):
+                out.append(audio)
+
+    def finish(self) -> np.ndarray:
+        """Final flow + vocoder flush over the remaining tokens."""
+        assert not self.finished
+        self.finished = True
+        f_pad, n_rem = self.fs.finalize(self.tokens)
+        return self.vs.finalize(f_pad, n_rem)

@@ -55,6 +55,10 @@ class CosyVoice3TTS:
     hift_params: Any
     dtype: Any = jnp.bfloat16
     seed: int = 1986
+    # streaming flow window (target tokens): past this prefix length, the
+    # flow runs on [prompt ++ last window tokens] per hop (infer/stream.py)
+    # instead of the full prefix — constant per-hop cost for long utterances.
+    stream_window_tokens: int = 300
 
     def __post_init__(self):
         self.llm = CosyVoice3LM(self.cfg.llm, dtype=self.dtype)
@@ -109,6 +113,26 @@ class CosyVoice3TTS:
             self.cfg, llm=replace(self.cfg.llm, qwen=replace(self.cfg.llm.qwen, quant_int8=True))
         )
         self.llm = CosyVoice3LM(self.cfg.llm, dtype=self.dtype)
+
+    def warmup_streaming(self, prompt_token_len: int = 0, n_tokens: int | None = None) -> None:
+        """Pre-compile the streaming program set for one prompt shape (young
+        flow chunks + windowed flow + the global vocoder programs) by running
+        a silent dummy stream. Serving cold-start drops from ~60-90 s of
+        first-request compiles to zero; call once per served voice's prompt
+        length (programs are cached per (prompt_len, pad))."""
+        hop = self.cfg.chunk_size
+        n = n_tokens if n_tokens is not None else self.stream_window_tokens + 3 * hop
+        ptok = np.zeros(prompt_token_len, np.int32)
+        pfeat = np.zeros((prompt_token_len * self.cfg.token_mel_ratio, 80), np.float32)
+        for _ in self.tts(
+            text=np.zeros(0, np.int32),
+            flow_embedding=np.zeros(192, np.float32),
+            flow_prompt_speech_token=ptok,
+            prompt_speech_feat=pfeat,
+            source_speech_token=np.zeros(n, np.int32),
+            stream=True,
+        ):
+            pass
 
     # ---- stage 1: AR token generation ---------------------------------------
 
@@ -446,44 +470,19 @@ class CosyVoice3TTS:
         else:
             token_iter = iter([np.asarray(source_speech_token, np.int32)])
 
-        prompt_pad = _round_up(len(flow_prompt_speech_token), hop) - len(flow_prompt_speech_token)
-        tokens = np.zeros(0, np.int32)
-        llm_done = False
-        token_offset = 0
-        # mel accumulates ON DEVICE across hops; per hop the only host
-        # traffic is the LLM token chunk and the new audio slice — every
-        # extra sync costs ~26 ms on the axon tunnel and the old full-audio
-        # fetch grew linearly with utterance length.
-        emitted_mel = jnp.zeros((0, 80), self.dtype)
-        prompt_feat_dev = jnp.asarray(prompt_speech_feat, self.dtype)
-        emb_dev = jnp.asarray(flow_embedding, jnp.float32)
-        speech_offset = 0
-        while True:
-            this_hop = hop + prompt_pad if token_offset == 0 else hop
-            while len(tokens) - token_offset < this_hop + la and not llm_done:
-                try:
-                    tokens = np.concatenate([tokens, next(token_iter)])
-                except StopIteration:
-                    llm_done = True
-            if len(tokens) - token_offset >= this_hop + la:
-                chunk_tokens = tokens[: token_offset + this_hop + la]
-                mel = self.token2mel(
-                    chunk_tokens, flow_prompt_speech_token, prompt_feat_dev, emb_dev,
-                    streaming=True, finalize=False, device_out=True,
-                )
-                emitted_mel = jnp.concatenate([emitted_mel, mel[token_offset * ratio :]], axis=0)
-                audio = self.vocode(emitted_mel, finalize=False, device_out=True)
-                token_offset += this_hop
-                chunk_audio = np.asarray(audio[speech_offset:].astype(jnp.float32))
-                speech_offset += len(chunk_audio)
+        # Constant-cost windowed streaming (infer/stream.py): the flow runs on
+        # a capped window past `stream_window_tokens`, the vocoder decodes a
+        # fixed 108-frame window with NSF phase carry — O(window) per hop and
+        # a BOUNDED set of XLA programs, vs the reference's full-prefix
+        # recompute (cli/model.py:416-441) which is O(L^2) and compiles per
+        # length. Sample-exact for the vocoder (tests/test_stream_scale.py).
+        from .stream import Token2WavSession
+
+        sess = Token2WavSession(self, flow_prompt_speech_token, prompt_speech_feat, flow_embedding)
+        for tok_chunk in token_iter:
+            for chunk_audio in sess.push(tok_chunk):
                 yield {"tts_speech": chunk_audio}
-            elif llm_done:
-                break
-        mel = self.token2mel(tokens, flow_prompt_speech_token, prompt_feat_dev, emb_dev,
-                             streaming=True, finalize=True, device_out=True)
-        emitted_mel = jnp.concatenate([emitted_mel, mel[token_offset * ratio :]], axis=0)
-        audio = self.vocode(emitted_mel, finalize=True, device_out=True)
-        yield {"tts_speech": np.asarray(audio[speech_offset:].astype(jnp.float32))}
+        yield {"tts_speech": sess.finish()}
 
     def _stream_tokens(
         self,

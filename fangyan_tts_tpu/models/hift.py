@@ -218,9 +218,42 @@ class SourceModule(nn.Module):
     cfg: HiFTConfig
     variant: str = "sinegen2_causal"
 
+    def rad_frames(self, f0_frame: jnp.ndarray, first: bool = True) -> jnp.ndarray:
+        """Per-mel-frame NSF phase increments (B, L, H) in rad units (cycles).
+
+        Frame-local: the nearest-up/linear-down round trip samples strictly
+        inside each frame (output coord i -> input samples 480i+239..240), so
+        rad_frames over any window equals the same frames of a full-signal
+        computation. This is what makes windowed streaming (`stream_window`)
+        exact: the caller carries `sum(rad_frames) mod 1` across windows."""
+        c = self.cfg
+        hplus = c.nb_harmonics + 1
+        up = c.total_upsample
+        harmonic_mult = jnp.arange(1, hplus + 1, dtype=jnp.float32)
+        fn = f0_frame[..., None] * harmonic_mult  # (B, L, H)
+        rad = jnp.mod(fn / c.sampling_rate, 1.0)
+        rad_up = upsample_nearest(rad, up)
+        if first:
+            rand_ini, _, _ = nsf_buffers(hplus)
+            rad_up = rad_up.at[:, 0, :].add(jnp.asarray(rand_ini[0]))
+        return downsample_linear(rad_up, up)  # (B, L, H)
+
     @nn.compact
-    def __call__(self, f0_frame: jnp.ndarray) -> jnp.ndarray:
-        """f0_frame: (B, L) f0 per mel frame -> source (B, L*up, 1)."""
+    def __call__(
+        self,
+        f0_frame: jnp.ndarray,
+        carry: jnp.ndarray | None = None,
+        noise_offset: jnp.ndarray | None = None,
+        noise_buf: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """f0_frame: (B, L) f0 per mel frame -> source (B, L*up, 1).
+
+        Streaming (sinegen2_causal only): `carry` (B, H) is the cumulative
+        phase (rad units, mod 1) over all frames before this window, and
+        `noise_offset` (scalar, samples) positions the additive noise at the
+        window's absolute sample offset inside `noise_buf` (1, N, H) — so a
+        window reproduces the full-signal source exactly (phase continuity +
+        identical noise draws)."""
         c = self.cfg
         hplus = c.nb_harmonics + 1
         up = c.total_upsample
@@ -242,12 +275,11 @@ class SourceModule(nn.Module):
             # SineGen2: rad = (fn/sr) % 1 at sample rate, rand_ini on the
             # first sample, linear downsample x(1/up), cumsum at frame rate,
             # phase*(up) upsampled back (generator.py:239-258)
-            fn = f0_frame[..., None] * harmonic_mult  # (B, L, H)
-            rad = jnp.mod(fn / c.sampling_rate, 1.0)
-            rad_up = upsample_nearest(rad, up)
-            rad_up = rad_up.at[:, 0, :].add(jnp.asarray(rand_ini[0]))
-            rad_down = downsample_linear(rad_up, up)  # (B, L, H)
-            phase = jnp.cumsum(rad_down, axis=1) * 2.0 * np.pi
+            rad_down = self.rad_frames(f0_frame, first=carry is None)
+            phase = jnp.cumsum(rad_down, axis=1)
+            if carry is not None:
+                phase = phase + carry[:, None, :].astype(phase.dtype)
+            phase = phase * (2.0 * np.pi)
             if self.variant == "sinegen2_causal":
                 phase_up = upsample_nearest(phase * up, up)
             else:  # non-causal: F.interpolate(..., mode='linear')
@@ -256,7 +288,15 @@ class SourceModule(nn.Module):
 
         uv = (f0_up > c.nsf_voiced_threshold).astype(sines.dtype)
         noise_amp = uv * c.nsf_sigma + (1.0 - uv) * c.nsf_alpha / 3.0
-        if self.variant == "sinegen2_causal":
+        if noise_offset is not None and noise_buf is not None:
+            buf_len = noise_buf.shape[1]
+            off = jnp.mod(jnp.asarray(noise_offset), jnp.maximum(buf_len - n_samp, 1))
+            if off.ndim == 0:
+                win_noise = jax.lax.dynamic_slice_in_dim(noise_buf, off, n_samp, axis=1)
+            else:  # per-row offsets (batched streaming): gather (B, n_samp, H)
+                win_noise = noise_buf[0][off[:, None] + jnp.arange(n_samp)[None, :]]
+            noise = noise_amp * win_noise.astype(sines.dtype)
+        elif self.variant == "sinegen2_causal":
             noise = noise_amp * jnp.asarray(uniform_noise[:, :n_samp], sines.dtype)
         else:
             noise = noise_amp * jnp.asarray(nsf_gauss_noise(n_samp, hplus), sines.dtype)
@@ -483,3 +523,59 @@ class CausalHiFT(nn.Module):
         f0 = self.f0_predictor(mel32[:, :-pad], context=mel32[:, -pad:])
         s = self.m_source(f0).astype(mel.dtype)
         return self.decode(mel[:, :-pad], s, finalize=False), s
+
+    # ---- constant-cost windowed streaming -----------------------------------
+    # The reference's CV3 streaming re-vocodes the FULL accumulated mel every
+    # hop (cli/model.py:416-441) — O(L^2) and, under XLA, one compiled program
+    # per mel length. These methods instead decode a fixed-size window ending
+    # at the stream head: every conv here is causal with a small receptive
+    # field (measured < 16 mel frames), the NSF source phase is continued
+    # across windows via `carry` (sum of SourceModule.rad_frames mod 1), and
+    # the additive noise is indexed at the window's absolute sample offset —
+    # so the windowed stream is sample-exact vs the full recompute while each
+    # hop costs O(window) with ONE XLA program, ever.
+
+    def stream_window(
+        self, mel: jnp.ndarray, carry: jnp.ndarray, noise_offset: jnp.ndarray, noise_buf: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Windowed streaming step. mel (B, W, 80) is the window ending at the
+        stream head; returns audio for window frames [0, W-8) — the caller
+        discards the first `margin` frames (missing their left context) and
+        emits the rest. carry: (B, H) cumulative rad over [0, window_start);
+        noise_offset: window_start * 480."""
+        pad = CausalConv.causal_padding(4)  # = 3
+        mel32 = mel.astype(jnp.float32)
+        f0 = self.f0_predictor(mel32[:, :-pad], context=mel32[:, -pad:])
+        s = self.m_source(f0, carry=carry, noise_offset=noise_offset, noise_buf=noise_buf).astype(mel.dtype)
+        return self.decode(mel[:, :-pad], s, finalize=False)
+
+    def finalize_window(
+        self,
+        mel: jnp.ndarray,
+        n_valid: jnp.ndarray,
+        carry: jnp.ndarray,
+        noise_offset: jnp.ndarray,
+        noise_buf: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Final windowed step: mel (B, W, 80) zero-padded past n_valid frames;
+        finalize=True semantics (no lookahead trim). Returns audio (B, W*480);
+        the caller slices [.., n_valid*480)."""
+        c = self.cfg
+        w = mel.shape[1]
+        mask = (jnp.arange(w)[None, :, None] < n_valid).astype(mel.dtype)
+        mel = mel * mask
+        mel32 = mel.astype(jnp.float32)
+        f0 = self.f0_predictor(mel32)
+        s = self.m_source(f0, carry=carry, noise_offset=noise_offset, noise_buf=noise_buf).astype(mel.dtype)
+        return self.decode(mel, s, finalize=True)
+
+    def rad_delta(self, mel_ctx: jnp.ndarray, n_left: int) -> jnp.ndarray:
+        """NSF phase advance (B, H) over the mel frames
+        mel_ctx[:, n_left:-3]: n_left frames of left context for the f0
+        predictor (8 = its receptive field; 0 at the exact sequence start)
+        and 3 frames of right context. Used to advance the streaming carry."""
+        pad = CausalConv.causal_padding(4)  # = 3
+        mel32 = mel_ctx.astype(jnp.float32)
+        f0 = self.f0_predictor(mel32[:, :-pad], context=mel32[:, -pad:])
+        rad = self.m_source.rad_frames(f0[:, n_left:], first=n_left == 0)
+        return jnp.sum(rad, axis=1)

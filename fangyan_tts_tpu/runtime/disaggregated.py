@@ -64,39 +64,68 @@ class DisaggregatedTTS:
                     return
                 yield chunk
 
-        c = self.tts.cfg
-        hop, la, ratio = c.chunk_size, c.flow.pre_lookahead_len, c.token_mel_ratio
         flow_prompt = kwargs.pop("flow_prompt_speech_token", np.zeros(0, np.int32))
         prompt_feat = kwargs.pop("prompt_speech_feat", np.zeros((0, 80), np.float32))
         emb = kwargs.pop("flow_embedding", np.zeros(192, np.float32))
 
+        from ..infer.stream import Token2WavSession
+
         with jax.default_device(self.wav_device):
-            tokens = np.zeros(0, np.int32)
-            it = token_iter()
-            done = False
-            token_offset = 0
-            emitted_mel = np.zeros((0, 80), np.float32)
-            speech_offset = 0
-            prompt_pad = (len(flow_prompt) + hop - 1) // hop * hop - len(flow_prompt)
-            while True:
-                this_hop = hop + prompt_pad if token_offset == 0 else hop
-                while len(tokens) - token_offset < this_hop + la and not done:
-                    try:
-                        tokens = np.concatenate([tokens, next(it)])
-                    except StopIteration:
-                        done = True
-                if len(tokens) - token_offset >= this_hop + la:
-                    mel = self.tts.token2mel(tokens[: token_offset + this_hop + la], flow_prompt, prompt_feat, emb, streaming=True, finalize=False)
-                    emitted_mel = np.concatenate([emitted_mel, mel[token_offset * ratio :]], axis=0)
-                    audio = self.tts.vocode(emitted_mel, finalize=False)
-                    token_offset += this_hop
-                    chunk_audio = audio[speech_offset:]
-                    speech_offset += len(chunk_audio)
+            sess = Token2WavSession(self.tts, flow_prompt, prompt_feat, emb)
+            for tok_chunk in token_iter():
+                for chunk_audio in sess.push(tok_chunk):
                     yield {"tts_speech": chunk_audio}
-                elif done:
-                    break
-            mel = self.tts.token2mel(tokens, flow_prompt, prompt_feat, emb, streaming=True, finalize=True)
-            emitted_mel = np.concatenate([emitted_mel, mel[token_offset * ratio :]], axis=0)
-            audio = self.tts.vocode(emitted_mel, finalize=True)
-            yield {"tts_speech": audio[speech_offset:]}
+            yield {"tts_speech": sess.finish()}
         t.join()
+
+
+class RemoteToken2Wav:
+    """Client half of two-process disaggregation: the LLM runs in THIS
+    process, the flow+vocoder in a remote token2wav service
+    (runtime/token2wav_asr_server.py /stream routes) — the TPU-native
+    equivalent of the reference's Triton BLS split across GPU pools
+    (runtime/triton_trtllm README 'Disaggregated Server')."""
+
+    def __init__(self, base_url: str):
+        self.base_url = base_url.rstrip("/")
+
+    def _post(self, path: str, payload: dict) -> dict:
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.base_url + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    def stream(self, token_iter, prompt_token, prompt_feat, embedding):
+        """Drive a remote streaming session: yields np.float32 audio chunks."""
+        sid = self._post(
+            "/stream/start",
+            {
+                "prompt_token": np.asarray(prompt_token, np.int32).tolist(),
+                "prompt_feat": np.asarray(prompt_feat, np.float32).tolist(),
+                "embedding": np.asarray(embedding, np.float32).tolist(),
+            },
+        )["session"]
+        for chunk in token_iter:
+            res = self._post("/stream/push", {"session": sid, "tokens": np.asarray(chunk).tolist()})
+            for a in res["chunks"]:
+                yield np.asarray(a, np.float32)
+        res = self._post("/stream/finish", {"session": sid})
+        yield np.asarray(res["chunk"], np.float32)
+
+
+def tts_stream_remote(tts, remote: RemoteToken2Wav, text, prompt_text=None, llm_prompt_speech_token=None,
+                      flow_prompt_speech_token=None, prompt_speech_feat=None, flow_embedding=None):
+    """Two-process streaming synthesis: local LLM decode, remote token2wav."""
+    prompt_text = np.zeros(0, np.int32) if prompt_text is None else prompt_text
+    llm_prompt = np.zeros(0, np.int32) if llm_prompt_speech_token is None else llm_prompt_speech_token
+    flow_prompt = np.zeros(0, np.int32) if flow_prompt_speech_token is None else flow_prompt_speech_token
+    feat = np.zeros((0, 80), np.float32) if prompt_speech_feat is None else prompt_speech_feat
+    emb = np.zeros(192, np.float32) if flow_embedding is None else flow_embedding
+    it = tts._stream_tokens(text, prompt_text, llm_prompt)
+    for audio in remote.stream(it, flow_prompt, feat, emb):
+        yield {"tts_speech": audio}

@@ -151,11 +151,19 @@ def main(argv=None) -> None:
     parser.add_argument("--port", type=int, default=50000)
     parser.add_argument("--model_dir", type=str, required=True)
     parser.add_argument("--quant_int8", action="store_true", help="weight-only int8 LLM decode (ops/quant.py)")
+    parser.add_argument(
+        "--warmup_prompt_lens", type=int, nargs="*", default=None,
+        help="pre-compile the streaming program set for these prompt token "
+             "lengths (cold-start otherwise pays ~60-90s of first-request compiles)",
+    )
     args = parser.parse_args(argv)
 
     from ..api import AutoModel
 
     model = AutoModel(model_dir=args.model_dir, quant_int8=args.quant_int8)
+    for plen in args.warmup_prompt_lens or []:
+        print(f"warmup: streaming programs for prompt_len={plen} ...")
+        model.model.warmup_streaming(plen)
     server = serve(model, port=args.port)
     print(f"serving on :{args.port}")
     server.serve_forever()

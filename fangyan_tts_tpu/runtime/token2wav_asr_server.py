@@ -106,6 +106,38 @@ def _token2wav(payload: dict) -> np.ndarray:
         return np.asarray(_model.vocode(mel, finalize=True))
 
 
+_sessions: dict = {}
+_session_seq = [0]
+
+
+def _stream_route(path: str, payload: dict) -> dict:
+    """Streaming token2wav sessions for two-process disaggregated serving
+    (runtime/disaggregated.py RemoteToken2Wav): the LLM process pushes token
+    chunks, this process runs the windowed flow+vocoder (infer/stream.py)."""
+    from ..infer.stream import Token2WavSession
+
+    with _lock:
+        if path == "/stream/start":
+            _session_seq[0] += 1
+            sid = str(_session_seq[0])
+            _sessions[sid] = Token2WavSession(
+                _model,
+                np.asarray(payload.get("prompt_token", []), np.int32),
+                np.asarray(payload.get("prompt_feat", np.zeros((0, 80))), np.float32).reshape(-1, 80),
+                np.asarray(payload.get("embedding", np.zeros(192)), np.float32).reshape(-1),
+            )
+            return {"session": sid}
+        sess = _sessions[payload["session"]]
+        if path == "/stream/push":
+            chunks = sess.push(np.asarray(payload["tokens"], np.int32))
+            return {"chunks": [c.tolist() for c in chunks]}
+        if path == "/stream/finish":
+            tail = sess.finish()
+            del _sessions[payload["session"]]
+            return {"chunk": tail.tolist()}
+        raise ValueError(f"unknown stream route {path}")
+
+
 class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -127,6 +159,8 @@ class _Handler(BaseHTTPRequestHandler):
             elif self.path == "/asr":
                 wav, sr = _read_wav(data)
                 self._send(200, json.dumps({"text": _asr_fn(wav, sr)}, ensure_ascii=False).encode())
+            elif self.path.startswith("/stream/"):
+                self._send(200, json.dumps(_stream_route(self.path, json.loads(data))).encode())
             elif self.path == "/score":
                 from ..train.grpo import cer
 

@@ -1,0 +1,109 @@
+"""Batched concurrent streaming (infer/batch_stream.py) must produce the
+same audio per slot as N independent single-stream sessions."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fangyan_tts_tpu.config import (
+    CosyVoiceConfig, DiTConfig, FlowConfig, HiFTConfig, LLMConfig, QwenConfig,
+)
+from fangyan_tts_tpu.infer.tts import CosyVoice3TTS
+
+
+@pytest.fixture(scope="module")
+def tiny_tts():
+    cfg = CosyVoiceConfig(
+        llm=LLMConfig(
+            llm_input_size=32, llm_output_size=32, speech_token_size=64, extra_tokens=8,
+            qwen=QwenConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                            num_attention_heads=2, num_key_value_heads=1, head_dim=16, vocab_size=128),
+        ),
+        flow=FlowConfig(
+            vocab_size=64, n_timesteps=2,
+            dit=DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, static_chunk_size=50),
+        ),
+        hift=HiFTConfig(base_channels=32, f0_cond_channels=16, stream_noise_seconds=5),
+    )
+    tts = CosyVoice3TTS.random_init(cfg, dtype=jnp.float32)
+    tts.stream_window_tokens = 100
+    return tts
+
+
+def test_batched_equals_sequential(tiny_tts):
+    from fangyan_tts_tpu.infer.batch_stream import BatchedStreamGroup
+    from fangyan_tts_tpu.infer.stream import Token2WavSession
+
+    rng = np.random.default_rng(0)
+    n_slots = 3
+    n_tok = [213, 188, 240]  # staggered lengths
+    toks = [rng.integers(0, 60, size=n).astype(np.int32) for n in n_tok]
+    embs = [rng.standard_normal(192).astype(np.float32) for _ in range(n_slots)]
+    pfeat = np.zeros((0, 80), np.float32)
+    ptok = np.zeros(0, np.int32)
+
+    # sequential ground truth
+    seq_audio = []
+    for i in range(n_slots):
+        sess = Token2WavSession(tiny_tts, ptok, pfeat, embs[i])
+        chunks = sess.push(toks[i])
+        chunks.append(sess.finish())
+        seq_audio.append(np.concatenate(chunks))
+
+    # batched group, tokens arriving in staggered 64-token chunks
+    g = BatchedStreamGroup(tiny_tts, [(ptok, pfeat, e) for e in embs])
+    got = [[] for _ in range(n_slots)]
+    pos = [0] * n_slots
+    while any(pos[i] < n_tok[i] for i in range(n_slots)) or True:
+        fed = False
+        for i in range(n_slots):
+            if pos[i] < n_tok[i]:
+                g.feed(i, toks[i][pos[i] : pos[i] + 64])
+                pos[i] += 64
+                fed = True
+        for slot, audio in g.step():
+            got[slot].append(audio)
+        if not fed:
+            # drain remaining ready hops
+            chunks = g.step()
+            for slot, audio in chunks:
+                got[slot].append(audio)
+            if not chunks:
+                break
+    for i in range(n_slots):
+        got[i].append(g.finish(i))
+
+    for i in range(n_slots):
+        a, b = np.concatenate(got[i]), seq_audio[i]
+        assert a.shape == b.shape, f"slot {i}: {a.shape} vs {b.shape}"
+        assert np.abs(a - b).max() < 2e-3, f"slot {i} deviates by {np.abs(a - b).max()}"
+
+
+def test_stream_scheduler_sessions(tiny_tts):
+    """Sessions opened/fed/closed through the scheduler produce the same
+    audio as direct Token2WavSessions; slots are recycled."""
+    from fangyan_tts_tpu.infer.batch_stream import StreamScheduler
+    from fangyan_tts_tpu.infer.stream import Token2WavSession
+
+    rng = np.random.default_rng(7)
+    sched = StreamScheduler(tiny_tts, width=2)
+    pfeat = np.zeros((0, 80), np.float32)
+    ptok = np.zeros(0, np.int32)
+
+    def run_session(tokens, emb):
+        h = sched.open(ptok, pfeat, emb)
+        chunks = []
+        for i in range(0, len(tokens), 64):
+            chunks += sched.feed(h, tokens[i : i + 64])
+        chunks.append(sched.close(h))
+        return np.concatenate(chunks)
+
+    for trial in range(3):  # 3 sequential sessions on a width-2 scheduler -> recycling
+        tokens = rng.integers(0, 60, size=150 + 25 * trial).astype(np.int32)
+        emb = rng.standard_normal(192).astype(np.float32)
+        got = run_session(tokens, emb)
+        sess = Token2WavSession(tiny_tts, ptok, pfeat, emb)
+        want = np.concatenate(sess.push(tokens) + [sess.finish()])
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() < 2e-3, f"trial {trial}: {np.abs(got - want).max()}"
