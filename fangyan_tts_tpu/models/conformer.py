@@ -62,14 +62,20 @@ def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class RelPositionAttention(nn.Module):
-    """Transformer-XL-style relative attention (attention.py:200-330)."""
+    """Transformer-XL-style relative attention (attention.py:200-330).
+
+    With `kv_cache` ((B, Tc, H, dk) keys, values) this is the streaming
+    forward_chunk attention (attention.py:262-330): the chunk's keys/values
+    append to a fixed-size rolling cache, `pos_emb` covers relative
+    distances [-(C-1), K-1] in descending order, and the rectangular
+    rel-shift is a static gather."""
 
     heads: int
     dim: int
     key_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, pos_emb: jnp.ndarray, attn_mask: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, pos_emb: jnp.ndarray, attn_mask: jnp.ndarray, kv_cache=None):
         h, dk = self.heads, self.dim // self.heads
         b, t, _ = x.shape
         q = nn.Dense(self.dim, name="linear_q", dtype=x.dtype)(x).reshape(b, t, h, dk)
@@ -81,18 +87,32 @@ class RelPositionAttention(nn.Module):
         u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, dk))
         vb = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, dk))
 
+        new_cache = None
+        if kv_cache is not None:
+            kc, vc = kv_cache
+            k = jnp.concatenate([kc.astype(x.dtype), k], axis=1)
+            v = jnp.concatenate([vc.astype(x.dtype), v], axis=1)
+            new_cache = (k[:, -kc.shape[1] :], v[:, -vc.shape[1] :])
+
         q_u = q + u.astype(x.dtype)
         q_v = q + vb.astype(x.dtype)
         ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
         bd = jnp.einsum("bthd,bshd->bhts", q_v, jnp.broadcast_to(p, (b, p.shape[1], h, dk)))
-        if bd.shape != ac.shape:  # full 2T-1 table -> shift
+        if kv_cache is not None:
+            # rectangular rel-shift: row r of p <-> distance K-1-r; query t at
+            # key s has distance Tc+t-s, i.e. p-row (C-1)-t+s
+            kk = k.shape[1]
+            idx = (t - 1 - jnp.arange(t))[:, None] + jnp.arange(kk)[None, :]  # (C, K)
+            bd = jnp.take_along_axis(bd, jnp.broadcast_to(idx[None, None], (b, h, t, kk)), axis=-1)
+        elif bd.shape != ac.shape:  # full 2T-1 table -> shift
             bd = rel_shift(bd)
         scores = (ac + bd) / math.sqrt(dk)
         scores = jnp.where(attn_mask[:, None], scores.astype(jnp.float32), -1e10)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         probs = jnp.where(attn_mask[:, None], probs, 0.0)
         out = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(b, t, self.dim)
-        return nn.Dense(self.dim, name="linear_out", dtype=x.dtype)(out)
+        out = nn.Dense(self.dim, name="linear_out", dtype=x.dtype)(out)
+        return out if kv_cache is None else (out, new_cache)
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -118,8 +138,18 @@ class ConvolutionModule(nn.Module):
     norm: str = "layer_norm"
 
     @nn.compact
-    def __call__(self, x, pad_mask):  # (B, T, D); pad_mask (B, T) valid
+    def __call__(self, x, pad_mask, cache=None):  # (B, T, D); pad_mask (B, T) valid
         x = x * pad_mask[..., None]
+        new_cache = None
+        if cache is not None:  # streaming: (B, kernel-1, D) raw-input cache
+            assert self.causal, "cnn streaming cache requires causal convs (convolution.py:116-124)"
+            x = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+            new_cache = x[:, -(self.kernel - 1) :]
+        elif self.causal:
+            # the reference pads the RAW input before pointwise_conv1
+            # (convolution.py:116-124), so the pad region carries the pw1
+            # bias through the GLU into the depthwise conv's left context
+            x = jnp.pad(x, ((0, 0), (self.kernel - 1, 0), (0, 0)))
         k1 = self.param("pw1_kernel", nn.initializers.lecun_normal(), (1, self.dim, 2 * self.dim))
         b1 = self.param("pw1_bias", nn.initializers.zeros, (2 * self.dim,))
         h = conv1d(x, k1.astype(x.dtype), b1.astype(x.dtype))
@@ -128,7 +158,10 @@ class ConvolutionModule(nn.Module):
 
         kd = self.param("dw_kernel", nn.initializers.lecun_normal(), (self.kernel, 1, self.dim))
         bd = self.param("dw_bias", nn.initializers.zeros, (self.dim,))
-        pad = (self.kernel - 1, 0) if self.causal else ((self.kernel - 1) // 2, (self.kernel - 1) // 2)
+        if cache is not None or self.causal:
+            pad = (0, 0)  # left context supplied by the cache / input padding
+        else:
+            pad = ((self.kernel - 1) // 2, (self.kernel - 1) // 2)
         h = conv1d(h, kd.astype(x.dtype), bd.astype(x.dtype), padding=pad, groups=self.dim)
         if self.norm == "layer_norm":
             h = nn.LayerNorm(name="norm")(h)
@@ -140,7 +173,8 @@ class ConvolutionModule(nn.Module):
         k2 = self.param("pw2_kernel", nn.initializers.lecun_normal(), (1, self.dim, self.dim))
         b2 = self.param("pw2_bias", nn.initializers.zeros, (self.dim,))
         h = conv1d(h, k2.astype(x.dtype), b2.astype(x.dtype))
-        return h * pad_mask[..., None]
+        h = h * pad_mask[..., None]
+        return h if cache is None else (h, new_cache)
 
 
 class ConformerEncoderLayer(nn.Module):
@@ -153,26 +187,48 @@ class ConformerEncoderLayer(nn.Module):
     use_cnn: bool = False
     cnn_kernel: int = 15
     cnn_causal: bool = False
+    cnn_norm: str = "layer_norm"
     key_bias: bool = True
     ffn_act: str = "swish"
 
     @nn.compact
-    def __call__(self, carry, _=None):
+    def __call__(self, carry, scanned=None):
+        """scanned: None (full forward) or per-layer streaming caches
+        (att_k, att_v, cnn) — the forward_chunk path (encoder_layer.py:137-236)."""
         x, pos_emb, attn_mask, pad_mask = carry
+        caches = None
         if self.macaron:
             h = nn.LayerNorm(epsilon=1e-12, name="norm_ff_macaron")(x)
             x = x + 0.5 * PositionwiseFeedForward(self.dim, self.ffn_hidden, self.ffn_act, name="ff_macaron")(h)
         h = nn.LayerNorm(epsilon=1e-12, name="norm_mha")(x)
-        x = x + RelPositionAttention(self.heads, self.dim, self.key_bias, name="self_attn")(h, pos_emb, attn_mask)
+        attn = RelPositionAttention(self.heads, self.dim, self.key_bias, name="self_attn")
+        if scanned is None:
+            x = x + attn(h, pos_emb, attn_mask)
+        else:
+            att_k, att_v, cnn_c = scanned
+            h_att, (nk, nv) = attn(h, pos_emb, attn_mask, kv_cache=(att_k, att_v))
+            x = x + h_att
         if self.use_cnn:
             h = nn.LayerNorm(epsilon=1e-12, name="norm_conv")(x)
-            x = x + ConvolutionModule(self.dim, self.cnn_kernel, self.cnn_causal, name="conv_module")(h, pad_mask)
+            conv = ConvolutionModule(self.dim, self.cnn_kernel, self.cnn_causal, self.cnn_norm, name="conv_module")
+            if scanned is None:
+                x = x + conv(h, pad_mask)
+            elif self.cnn_causal:
+                h_conv, ncnn = conv(h, pad_mask, cache=cnn_c)
+                x = x + h_conv
+            else:  # non-causal conv: per-chunk symmetric padding, no cache
+                x = x + conv(h, pad_mask)  # (wenet encoder.py: lorder==0 path)
+                ncnn = cnn_c
+        elif scanned is not None:
+            ncnn = cnn_c
         h = nn.LayerNorm(epsilon=1e-12, name="norm_ff")(x)
         ff_scale = 0.5 if self.macaron else 1.0
         x = x + ff_scale * PositionwiseFeedForward(self.dim, self.ffn_hidden, self.ffn_act, name="ff")(h)
         if self.use_cnn:
             x = nn.LayerNorm(epsilon=1e-12, name="norm_final")(x)
-        return (x, pos_emb, attn_mask, pad_mask), None
+        if scanned is not None:
+            caches = (nk, nv, ncnn)
+        return (x, pos_emb, attn_mask, pad_mask), caches
 
 
 def _scan_blocks(name: str, n: int, **layer_kw):
@@ -263,9 +319,12 @@ class UpsampleConformerEncoder(nn.Module):
 
 
 class ConformerEncoder(nn.Module):
-    """Plain (non-streaming-cache) conformer/transformer encoder
-    (transformer/encoder.py:338-474) — used as the CosyVoice1 LLM text
-    encoder and v1 flow encoder."""
+    """Conformer/transformer encoder (transformer/encoder.py:338-474) — used
+    as the CosyVoice1 LLM text encoder and v1 flow encoder. `forward_chunk`
+    is the streaming att/cnn-cache path (encoder.py:183-270), TPU-first: the
+    caches are fixed-size rolling windows with STATIC shapes (one XLA
+    program per chunk size) instead of the reference's dynamically-growing
+    tensors."""
 
     dim: int = 512
     heads: int = 8
@@ -277,16 +336,57 @@ class ConformerEncoder(nn.Module):
     input_dim: Optional[int] = None
     ffn_act: str = "swish"  # "relu" for TransformerEncoder stacks (v1 LM)
     legacy_embed: bool = False  # 'linear_legacy' input layer (v1 LM)
+    cnn_causal: bool = False
+    cnn_norm: str = "layer_norm"
 
-    @nn.compact
+    def setup(self):
+        self.embed = LinearEmbed(self.dim, legacy_relu=self.legacy_embed)
+        self.encoders = nn.scan(
+            ConformerEncoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.num_blocks,
+        )(
+            dim=self.dim, heads=self.heads, ffn_hidden=self.ffn_hidden, macaron=self.macaron,
+            use_cnn=self.use_cnn, cnn_kernel=self.cnn_kernel, cnn_causal=self.cnn_causal,
+            cnn_norm=self.cnn_norm, ffn_act=self.ffn_act,
+        )
+        self.after_norm = nn.LayerNorm(epsilon=1e-5)
+
     def __call__(self, xs: jnp.ndarray, xs_lens: jnp.ndarray, streaming: bool = False, static_chunk_size: int = 0):
         b, t, _ = xs.shape
-        x, pos = LinearEmbed(self.dim, legacy_relu=self.legacy_embed, name="embed")(xs)
+        x, pos = self.embed(xs)
         attn_mask = chunk_attn_mask(xs_lens, t, static_chunk_size if streaming else 0)
         pad_mask = (jnp.arange(t)[None, :] < xs_lens[:, None]).astype(x.dtype)
-        (x, *_), _ = _scan_blocks(
-            "encoders", self.num_blocks, dim=self.dim, heads=self.heads, ffn_hidden=self.ffn_hidden,
-            macaron=self.macaron, use_cnn=self.use_cnn, cnn_kernel=self.cnn_kernel, ffn_act=self.ffn_act,
-        )((x, pos, attn_mask, pad_mask), None)
-        x = nn.LayerNorm(epsilon=1e-5, name="after_norm")(x)
+        (x, *_), _ = self.encoders((x, pos, attn_mask, pad_mask), None)
+        x = self.after_norm(x)
         return x, xs_lens
+
+    def init_chunk_state(self, batch: int, cache_t: int, dtype=jnp.float32):
+        """Zeroed streaming caches: (att_k, att_v) (L, B, cache_t, H, dk) and
+        cnn (L, B, kernel-1, D). Track the number of VALID cache frames on
+        the host and pass it to forward_chunk as n_valid."""
+        dk = self.dim // self.heads
+        l = self.num_blocks
+        return (
+            jnp.zeros((l, batch, cache_t, self.heads, dk), dtype),
+            jnp.zeros((l, batch, cache_t, self.heads, dk), dtype),
+            jnp.zeros((l, batch, max(self.cnn_kernel - 1, 1), self.dim), dtype),
+        )
+
+    def forward_chunk(self, xs: jnp.ndarray, att_k, att_v, cnn_c, n_valid):
+        """One streaming chunk (encoder.py:183-270). xs: (B, C, D_in);
+        n_valid: frames of the att cache that are real (traced scalar —
+        chunk count stays off the compile key). Returns
+        (ys (B, C, D), new_att_k, new_att_v, new_cnn)."""
+        b, c_len, _ = xs.shape
+        tc = att_k.shape[2]
+        kk = tc + c_len
+        x, _ = self.embed(xs)
+        table = espnet_rel_pos_table(kk, self.dim)
+        pos = jnp.asarray(table[:, : kk + c_len - 1], x.dtype)  # distances K-1 .. -(C-1)
+        valid_from = tc - jnp.minimum(n_valid, tc)
+        attn_mask = jnp.broadcast_to(jnp.arange(kk)[None, None, :] >= valid_from, (b, c_len, kk))
+        pad_mask = jnp.ones((b, c_len), x.dtype)
+        (x, *_), caches = self.encoders((x, pos, attn_mask, pad_mask), (att_k, att_v, cnn_c))
+        return (self.after_norm(x), *caches)
