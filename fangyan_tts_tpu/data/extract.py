@@ -46,11 +46,15 @@ def _batched_buckets(utts: list[tuple[str, np.ndarray]], sr: int, batch_size: in
     for blen, items in sorted(buckets.items()):
         for i in range(0, len(items), batch_size):
             chunk = items[i : i + batch_size]
-            pad = np.zeros((len(chunk), blen), np.float32)
+            # int16 on the wire: wavs are 16-bit on disk, so the round trip
+            # is lossless and HALVES the host->device bytes (the tunneled
+            # single-chip setup moves ~37 MB/s — upload dominates the warm
+            # extraction loop). The fused programs convert on device.
+            pad = np.zeros((len(chunk), blen), np.int16)
             lens = np.zeros((len(chunk),), np.int32)
             names = []
             for j, (utt, audio) in enumerate(chunk):
-                pad[j, : len(audio)] = audio
+                pad[j, : len(audio)] = np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
                 lens[j] = len(audio)
                 names.append(utt)
             yield names, pad, lens
@@ -70,6 +74,29 @@ def load_utts(wav_scp: dict[str, str], target_sr: int = 16000, progress: bool = 
     return out
 
 
+# Feature DSP as ONE jitted program per bucket shape; the model apply_fn is
+# a second chained device call (features stay on device). Eager per-op
+# dispatch over the axon tunnel costs ~ms per op — this was the pipeline
+# bottleneck. The model must NOT be traced into the feature program: apply_fn
+# closes over its params, and tracing a closure bakes the weights into the
+# HLO as constants (hundreds of MB -> multi-minute remote compiles).
+
+
+@jax.jit
+def _embed_features(pad, lens):
+    feats = kaldi_fbank(pad.astype(jnp.float32) / 32768.0)  # (B, F, 80); int16 wire format
+    frame_len = jnp.maximum((lens - 400) // 160 + 1, 1)
+    # masked mean-subtraction over valid frames (extract_embedding.py:33)
+    mask = (jnp.arange(feats.shape[1])[None, :] < frame_len[:, None])[..., None]
+    mean = jnp.sum(feats * mask, axis=1, keepdims=True) / jnp.maximum(frame_len, 1)[:, None, None]
+    return (feats - mean) * mask, frame_len
+
+
+@jax.jit
+def _token_features(pad, lens):
+    return whisper_logmel(pad.astype(jnp.float32) / 32768.0), lens // 160
+
+
 def extract_embeddings(
     data_dir: str | Path,
     apply_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
@@ -87,12 +114,7 @@ def extract_embeddings(
 
     utt2emb: dict[str, np.ndarray] = {}
     for names, pad, lens in _batched_buckets(utts, 16000, batch_size):
-        feats = kaldi_fbank(jnp.asarray(pad))  # (B, F, 80)
-        frame_len = jnp.maximum((lens - 400) // 160 + 1, 1)
-        # masked mean-subtraction over valid frames (extract_embedding.py:33)
-        mask = (jnp.arange(feats.shape[1])[None, :] < frame_len[:, None])[..., None]
-        mean = jnp.sum(feats * mask, axis=1, keepdims=True) / jnp.maximum(frame_len, 1)[:, None, None]
-        feats = (feats - mean) * mask
+        feats, frame_len = _embed_features(jnp.asarray(pad), jnp.asarray(lens))
         embs = np.asarray(apply_fn(feats, frame_len))
         for utt, e in zip(names, embs):
             utt2emb[utt] = e.astype(np.float32)
@@ -122,9 +144,8 @@ def extract_speech_tokens(
 
     utt2tok: dict[str, np.ndarray] = {}
     for names, pad, lens in _batched_buckets(utts, 16000, batch_size):
-        mel = whisper_logmel(jnp.asarray(pad))  # (B, 128, T)
-        mel_len = lens // 160
-        codes, code_len = apply_fn(mel, jnp.asarray(mel_len))
+        mel, mel_len = _token_features(jnp.asarray(pad), jnp.asarray(lens))
+        codes, code_len = apply_fn(mel, mel_len)
         codes = np.asarray(codes)
         code_len = np.asarray(code_len)
         for i, utt in enumerate(names):
