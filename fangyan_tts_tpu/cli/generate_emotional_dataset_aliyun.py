@@ -161,7 +161,8 @@ def process_task(task: GenTask, appkey: str, token: str, limiter: GlobalRateLimi
 
     limiter.acquire()
     cb = TtsCallback(task.output_path)
-    tts = nls.SpeechSynthesizer(
+    synth_cls = getattr(nls, "NlsSpeechSynthesizer", None) or nls.SpeechSynthesizer
+    tts = synth_cls(
         url="wss://nls-gateway-cn-shanghai.aliyuncs.com/ws/v1",
         token=token,
         appkey=appkey,
@@ -179,7 +180,12 @@ def process_task(task: GenTask, appkey: str, token: str, limiter: GlobalRateLimi
         wait_complete=False,
     )
     cb.wait()
-    if not cb.success or cb.error_msg:
+    # only error_msg decides failure: on_completed can fire before on_close
+    # sets success (the reference checks the same way, :327-337)
+    if cb.error_msg:
+        if cb.f:
+            cb.f.close()
+            cb.f = None
         if os.path.exists(task.output_path):
             os.remove(task.output_path)
         return False

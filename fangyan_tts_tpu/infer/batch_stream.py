@@ -92,7 +92,10 @@ class BatchedStreamGroup:
                     method=CausalMaskedDiffWithDiT.prepare_inference,
                 )
                 zp = jnp.broadcast_to(noise_buf[:, :P_mel], (token_win.shape[0], P_mel, noise_buf.shape[2]))
-                idx = P_mel + tgt_starts[:, None] * ratio + jnp.arange(W * ratio)[None, :]
+                # same mod-wrap as FlowStream's noise_fn: batched and solo
+                # streams stay byte-identical past the noise buffer length
+                start = jnp.mod(P_mel + tgt_starts * ratio, noise_buf.shape[1] - W * ratio)
+                idx = start[:, None] + jnp.arange(W * ratio)[None, :]
                 zt = noise_buf[0][idx]  # (B, W*ratio, mel)
                 z = jnp.concatenate([zp, zt], axis=1).astype(mu.dtype)
                 mel = cfm_solve(fcfg, p["estimator"], z, mu, spks, conds, mel_len, streaming=True)

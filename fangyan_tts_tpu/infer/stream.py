@@ -224,7 +224,7 @@ class FlowStream:
 
     def _window_fn(self, finalize: bool):
         t = self.t
-        key = ("flow_win", self.P, self.pad, finalize)
+        key = ("flow_win", self.P, self.pad, self.W, finalize)
         if key not in t._flow_jit:
             flow, fcfg = t.flow, t.cfg.flow
             W, la, ratio, pad, P = self.W, self.la, self.ratio, self.pad, self.P
@@ -246,7 +246,10 @@ class FlowStream:
             @jax.jit
             def noise_fn(buf, tgt_start):
                 zp = buf[:, :P_mel]
-                zt = jax.lax.dynamic_slice_in_dim(buf, P_mel + tgt_start * ratio, W * ratio, axis=1)
+                # wrap past the fixed noise buffer (mod keeps batched and
+                # single-stream paths byte-identical for >300 s streams)
+                start = jnp.mod(P_mel + tgt_start * ratio, buf.shape[1] - W * ratio)
+                zt = jax.lax.dynamic_slice_in_dim(buf, start, W * ratio, axis=1)
                 return jnp.concatenate([zp, zt], axis=1)
 
             if finalize:
@@ -265,9 +268,13 @@ class FlowStream:
                     end = l_mel - 2 * pad
                     return mel[:, end - h : end]
 
-            def fn(token_win, tgt_start, n_rem=None):
-                mu, spks, conds, mel_len = prep(t.flow_params, token_win, self.prompt_feat, self.pf_len, self.emb)
-                z = noise_fn(self._noise_buf(), jnp.asarray(tgt_start, jnp.int32)).astype(mu.dtype)
+            # NOTE: conditioning is an ARGUMENT — this callable is cached on
+            # the TTS object keyed by (P, pad, finalize) and shared by every
+            # session with that prompt shape; closing over one session's
+            # prompt_feat/emb would leak its voice into later sessions.
+            def fn(token_win, tgt_start, prompt_feat, pf_len, emb, noise_buf, n_rem=None):
+                mu, spks, conds, mel_len = prep(t.flow_params, token_win, prompt_feat, pf_len, emb)
+                z = noise_fn(noise_buf, jnp.asarray(tgt_start, jnp.int32)).astype(mu.dtype)
                 mel = solve(t.flow_params["estimator"], z, mu, spks, conds, mel_len)
                 return emit(mel, jnp.asarray(n_rem, jnp.int32)) if finalize else emit(mel)
 
@@ -285,7 +292,9 @@ class FlowStream:
             win = np.concatenate(
                 [self.prompt_tokens, tokens[s : consumed + self.la]]
             ).astype(np.int32)
-            mel_h = self._window_fn(False)(jnp.asarray(win[None]), s)
+            mel_h = self._window_fn(False)(
+                jnp.asarray(win[None]), s, self.prompt_feat, self.pf_len, self.emb, self._noise_buf()
+            )
         else:
             chunk_tokens = tokens[: consumed + self.la]
             mel = self.t.token2mel(
@@ -307,7 +316,10 @@ class FlowStream:
             return jnp.zeros((1, F_CAP, 80), self.t.dtype), 0
         if n_t >= self.W:
             win = np.concatenate([self.prompt_tokens, tokens[n_t - self.W :]]).astype(np.int32)
-            f_pad = self._window_fn(True)(jnp.asarray(win[None]), n_t - self.W, n_rem)
+            f_pad = self._window_fn(True)(
+                jnp.asarray(win[None]), n_t - self.W, self.prompt_feat, self.pf_len, self.emb,
+                self._noise_buf(), n_rem,
+            )
         else:
             mel = self.t.token2mel(
                 tokens, self.prompt_tokens, self.prompt_feat[0], self.emb[0],

@@ -162,6 +162,9 @@ def main(argv=None) -> None:
 
     model = AutoModel(model_dir=args.model_dir, quant_int8=args.quant_int8)
     for plen in args.warmup_prompt_lens or []:
+        if not hasattr(model.model, "warmup_streaming"):  # v1/v2 stacks
+            print("warmup: not supported for this model family, skipping")
+            break
         print(f"warmup: streaming programs for prompt_len={plen} ...")
         model.model.warmup_streaming(plen)
     server = serve(model, port=args.port)

@@ -46,8 +46,8 @@ def main(argv=None) -> None:
     ap.add_argument("--dataset", required=True, help="JSONL rows or kaldi dir")
     ap.add_argument("--output-dir", default="generated_wavs")
     ap.add_argument("--batch-size", type=int, default=16)
-    ap.add_argument("--fp16", action="store_true", default=True)
-    ap.add_argument("--int8-llm", action="store_true", default=True)
+    ap.add_argument("--no-fp16", dest="fp16", action="store_false", default=True)
+    ap.add_argument("--no-int8-llm", dest="int8_llm", action="store_false", default=True)
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -64,10 +64,43 @@ def main(argv=None) -> None:
     if args.limit:
         rows = rows[: args.limit]
     sr = model.sample_rate
+    can_batch = hasattr(model.model, "batch_synthesize")
+
+    # rows sharing a prompt batch through batch_synthesize (all stages ride
+    # the batch dim); distinct-prompt rows run per-utterance.
+    from collections import defaultdict
+
+    groups: dict = defaultdict(list)
+    for row in rows:
+        groups[(row.get("prompt_wav", ""), row.get("prompt_text", ""))].append(row)
+
     metrics, total_audio, t_start = [], 0.0, time.time()
-    for i in range(0, len(rows), args.batch_size):
-        batch = rows[i : i + args.batch_size]
-        for row in batch:  # frontend per row; synthesis batches inside the model
+    for (pwav, ptext), grp in groups.items():
+        if can_batch and len(grp) > 1:
+            mis = [model.frontend.frontend_zero_shot(r["text"], ptext, pwav) for r in grp]
+            mi0 = mis[0]
+            for j in range(0, len(grp), args.batch_size):
+                sub, sub_mi = grp[j : j + args.batch_size], mis[j : j + args.batch_size]
+                t0 = time.time()
+                wavs = model.model.batch_synthesize(
+                    [np.asarray(m["text"]) for m in sub_mi],
+                    flow_embedding=np.asarray(mi0["flow_embedding"]).reshape(-1),
+                    prompt_text=np.asarray(mi0.get("prompt_text", np.zeros(0, np.int32))),
+                    llm_prompt_speech_token=np.asarray(mi0.get("llm_prompt_speech_token", np.zeros(0, np.int32))),
+                    flow_prompt_speech_token=np.asarray(mi0.get("flow_prompt_speech_token", np.zeros(0, np.int32))),
+                    prompt_speech_feat=np.asarray(mi0.get("prompt_speech_feat", np.zeros((0, 80), np.float32))).reshape(-1, 80),
+                )
+                wall = time.time() - t0
+                for row, audio in zip(sub, wavs):
+                    audio = np.asarray(audio, np.float32).reshape(-1)
+                    dur = len(audio) / sr
+                    total_audio += dur
+                    write_wav(out / f"{row['id']}.wav", audio, sr)
+                    metrics.append({"id": row["id"], "duration_s": round(dur, 3),
+                                    "wall_s": round(wall / len(sub), 3),
+                                    "rtf": round(wall / max(sum(len(np.asarray(w).reshape(-1)) for w in wavs) / sr, 1e-6), 4)})
+            continue
+        for row in grp:
             t0 = time.time()
             audio = np.concatenate(
                 [

@@ -52,7 +52,7 @@ def main(argv=None) -> None:
     ap.add_argument("--dataset", required=True)
     ap.add_argument("--output-dir", default="generated_wavs")
     ap.add_argument("--strategy", default="equal", choices=["equal", "exponential"])
-    ap.add_argument("--fp16", action="store_true", default=True)
+    ap.add_argument("--no-fp16", dest="fp16", action="store_false", default=True)
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args(argv)
 

@@ -154,6 +154,29 @@ def test_flow_window_equals_full_prefix_at_boundary():
     np.testing.assert_allclose(np.asarray(m2), np.asarray(f2), atol=1e-5)
 
 
+def test_flow_window_not_cached_across_voices():
+    """The windowed flow program is cached per prompt SHAPE — a second
+    session with the same prompt length but different speaker conditioning
+    must NOT reuse the first session's voice (regression: the cached
+    closure once captured the first session's prompt_feat/embedding)."""
+    from fangyan_tts_tpu.infer.stream import FlowStream
+
+    tts = _tiny_tts()
+    tts.stream_window_tokens = 50
+    rng = np.random.default_rng(4)
+    tokens = rng.integers(0, 60, size=80).astype(np.int32)
+    pf = np.zeros((0, 80), np.float32)
+
+    def windowed_hop(emb):
+        fs = FlowStream(tts, np.zeros(0, np.int32), pf, emb, prompt_pad=0)
+        fs.step(tokens)
+        return np.asarray(fs.step(tokens))  # hop 2 -> windowed program
+
+    a = windowed_hop(rng.standard_normal(192).astype(np.float32))
+    b = windowed_hop(rng.standard_normal(192).astype(np.float32))
+    assert np.abs(a - b).max() > 1e-4, "second voice reused the first session's conditioning"
+
+
 def test_streaming_e2e_long_utterance():
     """16-hop vc-path stream through the full windowed pipeline: correct
     total duration, finite audio, bounded program set."""

@@ -49,7 +49,7 @@ while True:
                     exec(code, ns)  # noqa: S102 - local job runner
             marker_done.write_text(f"{time.time() - t0:.1f}s")
             print(f"[worker] {job.name} done in {time.time() - t0:.1f}s", flush=True)
-        except BaseException:  # noqa: BLE001 — SystemExit from argparse/sys.exit must not kill the worker
+        except (Exception, SystemExit):  # noqa: BLE001 — sys.exit/argparse must not kill the worker (Ctrl-C still does)
             with open(out_path, "a") as f:
                 f.write("\n" + traceback.format_exc())
             marker_err.write_text(f"{time.time() - t0:.1f}s")
