@@ -49,6 +49,20 @@ def _maybe_convert(model_dir: Path, name: str, convert_fn) -> Path | None:
     return None
 
 
+def _deep_merge(base: dict, extra: dict) -> dict:
+    """Recursive config overlay: a partial nested section in config.json
+    (e.g. {"llm": {"llm_input_size": 1024}}) merges INTO the family preset's
+    section instead of replacing it (which silently reverted omitted keys to
+    CosyVoice3 defaults)."""
+    out = dict(base)
+    for k, v in extra.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 class CosyVoice3:
     """Flagship model family (cli/cosyvoice.py:191-228)."""
 
@@ -95,7 +109,10 @@ class CosyVoice3:
 
         tok_dir = self.model_dir / "tokenizer"
         tokenizer = get_qwen_tokenizer(str(tok_dir) if tok_dir.exists() else None, True, "cosyvoice3")
+        self._build_frontend(tokenizer, load_frontend_models)
 
+    def _build_frontend(self, tokenizer, load_frontend_models: bool) -> None:
+        """Shared campplus/S3 frontend-model loading for all families."""
         campplus_fn = s3_fn = None
         if load_frontend_models:
             cp = self.model_dir / "campplus.msgpack"
@@ -104,7 +121,7 @@ class CosyVoice3:
                 campplus_fn = make_campplus_fn(load_params(cp))
             if s3.exists():
                 s3_fn = make_s3_fn(load_params(s3))
-        self.frontend = Frontend(tokenizer, cfg, campplus_fn, s3_fn, spk2info=self.model_dir / "spk2info.pt")
+        self.frontend = Frontend(tokenizer, self.cfg, campplus_fn, s3_fn, spk2info=self.model_dir / "spk2info.pt")
 
     # -- speaker management (cli/cosyvoice.py:55-76)
     def add_zero_shot_spk(self, prompt_text: str, prompt_wav, zero_shot_spk_id: str) -> bool:
@@ -193,7 +210,7 @@ class CosyVoice2(CosyVoice3):
         if cfg_path.exists():
             extra = json.loads(cfg_path.read_text())
         # overlay on the v2 preset so omitted sections keep v2 (not v3) defaults
-        cfg = config_from_dict({**_to_jsonable(cosyvoice2_config()), **extra, "version": 2})
+        cfg = config_from_dict({**_deep_merge(_to_jsonable(cosyvoice2_config()), extra), "version": 2})
         self.cfg = cfg
         dtype = jnp.bfloat16 if fp16 else jnp.float32
 
@@ -225,15 +242,7 @@ class CosyVoice2(CosyVoice3):
         if not tok_dir.exists():
             tok_dir = self.model_dir / "tokenizer"
         tokenizer = get_qwen_tokenizer(str(tok_dir) if tok_dir.exists() else None, True, "cosyvoice2")
-        campplus_fn = s3_fn = None
-        if load_frontend_models:
-            cp = self.model_dir / "campplus.msgpack"
-            s3 = self.model_dir / "s3tokenizer.msgpack"
-            if cp.exists():
-                campplus_fn = make_campplus_fn(load_params(cp))
-            if s3.exists():
-                s3_fn = make_s3_fn(load_params(s3))
-        self.frontend = Frontend(tokenizer, self.cfg, campplus_fn, s3_fn, spk2info=self.model_dir / "spk2info.pt")
+        self._build_frontend(tokenizer, load_frontend_models)
 
 
 class CosyVoice(CosyVoice3):
@@ -262,7 +271,7 @@ class CosyVoice(CosyVoice3):
         if cfg_path.exists():
             extra = json.loads(cfg_path.read_text())
         # overlay on the v1 preset so omitted sections keep v1 (not v3) defaults
-        cfg = config_from_dict({**_to_jsonable(cosyvoice1_config()), **extra, "version": 1})
+        cfg = config_from_dict({**_deep_merge(_to_jsonable(cosyvoice1_config()), extra), "version": 1})
         self.cfg = cfg
         paths = {
             "llm": _maybe_convert(self.model_dir, "llm", llm_v1_params_from_reference),
@@ -283,24 +292,21 @@ class CosyVoice(CosyVoice3):
         flow = MaskedDiffWithXvec(vocab_size=cfg.llm.speech_token_size, **flow_kw)
         # v1 stays fp32: the legacy stack is small and the reference serves
         # it fp32 (cli/cosyvoice.py:39 warns fp16 off for v1)
+        if fp16:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "CosyVoice (v1) ignores fp16=True and runs fp32, matching the reference"
+            )
         self.model = CosyVoiceV1TTS(
             llm, load_params(paths["llm"]), flow, load_params(paths["flow"]),
             cfg.hift, load_params(paths["hift"]),
         )
-        tokenizer = None
         vocab = self.model_dir / "multilingual_zh_ja_yue_char_del.tiktoken"
         from .tokenizer import get_tokenizer
 
         tokenizer = get_tokenizer(multilingual=True, vocab_path=str(vocab) if vocab.exists() else None)
-        campplus_fn = s3_fn = None
-        if load_frontend_models:
-            cp = self.model_dir / "campplus.msgpack"
-            s3 = self.model_dir / "s3tokenizer.msgpack"
-            if cp.exists():
-                campplus_fn = make_campplus_fn(load_params(cp))
-            if s3.exists():
-                s3_fn = make_s3_fn(load_params(s3))
-        self.frontend = Frontend(tokenizer, cfg, campplus_fn, s3_fn, spk2info=self.model_dir / "spk2info.pt")
+        self._build_frontend(tokenizer, load_frontend_models)
 
     def inference_instruct2(self, *a, **k):
         raise NotImplementedError("inference_instruct2 requires CosyVoice2/3")

@@ -195,7 +195,10 @@ class CosyVoice2TTS:
         Returns np (L, 80) mel for tokens[token_offset:]."""
         full = np.concatenate([np.asarray(prompt_tokens, np.int32), np.asarray(tokens, np.int32)])
         true_len = len(full)
-        bucket = _round_up(max(true_len, 1), 32) if finalize else true_len
+        # streaming chunks bucket too (the lookahead context is length-masked
+        # in place, flow_xvec.prepare_inference) — coarse x64 buckets so a
+        # long stream reuses ~n_hops/2.5 programs instead of one per hop
+        bucket = _round_up(max(true_len, 1), 32 if finalize else 64)
         full = np.pad(full, (0, bucket - true_len))
         mel1 = prompt_feat.shape[0]
         fn = self._flow_fn(bucket, mel1, streaming, finalize)
@@ -206,7 +209,10 @@ class CosyVoice2TTS:
         )
         r = self.token_mel_ratio
         start = mel1 + token_offset * r
-        n = (true_len - len(prompt_tokens) - token_offset) * r
+        # non-finalize: the last pre_lookahead_len tokens are context only —
+        # the bucketed mel array extends past them, so clamp explicitly
+        valid = true_len - (0 if finalize else self.flow.pre_lookahead_len)
+        n = (valid - len(prompt_tokens) - token_offset) * r
         return np.asarray(mel[0, start : start + n].astype(jnp.float32))
 
     def vocode(self, mel: np.ndarray, cache_source: np.ndarray, pad_to: int | None = None):
@@ -507,6 +513,7 @@ class CosyVoiceV1TTS:
             for arr in v1_generate_cached(
                 self.llm, self.llm_params, full_text, llm_embedding,
                 prompt_speech=np.asarray(llm_prompt_speech_token, np.int32), key=self.next_key(),
+                prompt_text_len=len(prompt_text),
             ):
                 yield from arr.tolist()
 

@@ -199,8 +199,13 @@ class CausalMaskedDiffWithXvec(nn.Module):
         if finalize:
             h, out_lens = self.encoder(h, token_len, streaming=streaming)
         else:
-            ctx = h[:, -self.pre_lookahead_len :]
-            h, out_lens = self.encoder(h[:, : -self.pre_lookahead_len], token_len - self.pre_lookahead_len, context=ctx, streaming=streaming)
+            # streaming chunk: the last pre_lookahead_len VALID tokens are
+            # context only. They stay in place (the lookahead conv reads them
+            # at their true positions) and the encoder masks them out via the
+            # shortened length — equivalent to the reference's trim+context
+            # split (upsample_encoder.py:66-103) but indifferent to trailing
+            # padding, so chunk lengths can ride shared bucketed programs.
+            h, out_lens = self.encoder(h, token_len - self.pre_lookahead_len, streaming=streaming)
         mu = self.encoder_proj(h)
         b, l_mel, _ = mu.shape
         pf = prompt_feat.astype(mu.dtype)

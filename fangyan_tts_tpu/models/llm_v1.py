@@ -18,6 +18,8 @@ static shapes at O(n^2) cost over ~600-token utterances.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any
 
 import flax.linen as nn
@@ -125,6 +127,25 @@ class TransformerLM(nn.Module):
         return label_smoothed_ce(logits, tgt, self.lsm_weight, self.length_normalized_loss)
 
 
+@functools.lru_cache(maxsize=8)
+def _v1_step_fn(model: TransformerLM):
+    """Jitted one-step logp for prefix-recompute decode. Module-level cache:
+    a @jax.jit defined per call would miss the jit cache every utterance
+    (function identity) and recompile the full LM (CLAUDE.md rule)."""
+
+    @jax.jit
+    def step_fn(p, text, tlen, speech, slen, emb):
+        bound_p = model.bind({"params": p})
+        text_enc = bound_p.encode_text(text, tlen)
+        lm_input, lm_len = bound_p.build_lm_input(text_enc, tlen, speech, slen, emb)
+        h, _ = bound_p.llm(lm_input, lm_len, streaming=True, static_chunk_size=1)
+        logits = bound_p.llm_decoder(h)
+        last = jnp.take_along_axis(logits, (lm_len - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        return jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
+
+    return step_fn
+
+
 def v1_generate(
     model: TransformerLM,
     params: Any,
@@ -135,13 +156,14 @@ def v1_generate(
     min_token_text_ratio: float = 2.0,
     max_token_text_ratio: float = 20.0,
     chunk: int = 32,
+    prompt_text_len: int = 0,
 ) -> np.ndarray:
     """AR decode by bucketed-prefix recompute (llm.py:166-227 semantics)."""
     return np.asarray(
         list(
             v1_generate_stream(
                 model, params, text_tokens, embedding, prompt_speech, key,
-                min_token_text_ratio, max_token_text_ratio, chunk,
+                min_token_text_ratio, max_token_text_ratio, chunk, prompt_text_len,
             )
         ),
         np.int32,
@@ -158,23 +180,16 @@ def v1_generate_stream(
     min_token_text_ratio: float = 2.0,
     max_token_text_ratio: float = 20.0,
     chunk: int = 32,
+    prompt_text_len: int = 0,
 ):
     """Incremental v1 decode: yields speech tokens one by one (the llm_job
-    generator contract, cli/model.py:101-129)."""
+    generator contract, cli/model.py:101-129). min/max lengths count the NEW
+    text only, excluding prompt_text (llm.py:207-208)."""
     key = key if key is not None else jax.random.PRNGKey(0)
-    bound = model.bind({"params": params})
     lt = len(text_tokens)
-    min_len, max_len = int(lt * min_token_text_ratio), int(lt * max_token_text_ratio)
-
-    @jax.jit
-    def step_fn(p, text, tlen, speech, slen, emb):
-        bound_p = model.bind({"params": p})
-        text_enc = bound_p.encode_text(text, tlen)
-        lm_input, lm_len = bound_p.build_lm_input(text_enc, tlen, speech, slen, emb)
-        h, _ = bound_p.llm(lm_input, lm_len, streaming=True, static_chunk_size=1)
-        logits = bound_p.llm_decoder(h)
-        last = jnp.take_along_axis(logits, (lm_len - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
-        return jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
+    new_text = lt - prompt_text_len
+    min_len, max_len = int(new_text * min_token_text_ratio), int(new_text * max_token_text_ratio)
+    step_fn = _v1_step_fn(model)
 
     text = jnp.asarray(text_tokens, jnp.int32)[None]
     tlen = jnp.asarray([lt], jnp.int32)

@@ -237,13 +237,16 @@ def v1_generate_cached(
     min_token_text_ratio: float = 2.0,
     max_token_text_ratio: float = 20.0,
     chunk_steps: int = 32,
+    prompt_text_len: int = 0,
 ):
     """KV-cached incremental v1 decode: yields np arrays of newly emitted
     speech tokens per device call (the fast replacement for
-    llm_v1.v1_generate_stream's per-token prefix recompute)."""
+    llm_v1.v1_generate_stream's per-token prefix recompute). min/max lengths
+    count the NEW text only, excluding prompt_text (llm.py:207-208)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     lt = len(text_tokens)
-    min_len, max_len = int(lt * min_token_text_ratio), int(lt * max_token_text_ratio)
+    new_text = lt - prompt_text_len
+    min_len, max_len = int(new_text * min_token_text_ratio), int(new_text * max_token_text_ratio)
 
     def _round_up(n, m):
         return (n + m - 1) // m * m
@@ -257,6 +260,12 @@ def v1_generate_cached(
     speech[0, :ls] = prompt_speech
     prompt_total = 3 + lt + ls
     cache_len = _round_up(prompt_total + max(max_len, 1), 128)
+    if cache_len > MAX_POS:
+        raise ValueError(
+            f"v1 decode would reach position {cache_len} > rel-pos table extent "
+            f"{MAX_POS}; beyond it the dynamic_slice clamps silently and every "
+            f"layer sees shifted relative positions (split the input)"
+        )
 
     state = v1_decode_prefill(
         model, params, jnp.asarray(text), jnp.asarray([lt], jnp.int32),

@@ -37,6 +37,14 @@ def _prompt_tmp(audio_bytes: bytes) -> str:
 
 def make_servicer(model):
     def inference(request: pb.Request, context) -> "iter[pb.Response]":
+        try:
+            yield from _dispatch(model, request, context)
+        except NotImplementedError as e:
+            # plain (non-generator) methods raise at call time; map both call-
+            # and iteration-time NotImplementedError to a clean UNIMPLEMENTED
+            context.abort(grpc.StatusCode.UNIMPLEMENTED, str(e))
+
+    def _dispatch(model, request: pb.Request, context) -> "iter[pb.Response]":
         which = request.WhichOneof("RequestPayload")
         if which == "sft_request":
             gen = model.inference_sft(request.sft_request.tts_text, request.sft_request.spk_id)
@@ -58,12 +66,9 @@ def make_servicer(model):
         else:
             context.abort(grpc.StatusCode.INVALID_ARGUMENT, f"unknown payload {which}")
             return
-        try:
-            for out in gen:
-                pcm = (np.clip(out["tts_speech"], -1, 1) * (2**15)).astype("<i2").tobytes()
-                yield pb.Response(tts_audio=pcm)
-        except NotImplementedError as e:
-            context.abort(grpc.StatusCode.UNIMPLEMENTED, str(e))
+        for out in gen:
+            pcm = (np.clip(out["tts_speech"], -1, 1) * (2**15)).astype("<i2").tobytes()
+            yield pb.Response(tts_audio=pcm)
 
     handler = grpc.unary_stream_rpc_method_handler(
         inference,
