@@ -61,16 +61,50 @@ def _batched_buckets(utts: list[tuple[str, np.ndarray]], sr: int, batch_size: in
 
 
 def load_utts(wav_scp: dict[str, str], target_sr: int = 16000, progress: bool = True) -> list[tuple[str, np.ndarray]]:
-    out = []
+    """Corpus loader. WAV files go through the native multithreaded C++
+    loader (csrc/audio_io.cpp, 8 decode threads) in bounded-memory chunks;
+    anything else (or a file the native parser rejects) falls back to the
+    python/ffmpeg path."""
+    from . import native
+
+    items = list(wav_scp.items())
+    out: list[tuple[str, np.ndarray]] = []
     t0 = time.time()
-    for i, (utt, path) in enumerate(wav_scp.items()):
+
+    def _fallback(utt: str, path: str) -> None:
         try:
             audio, _ = load_audio(path, target_sr=target_sr)
             out.append((utt, audio))
         except Exception as e:  # noqa: BLE001
             print(f"  ⚠️ failed to load {utt}: {e}")
-        if progress and (i + 1) % 500 == 0:
-            print(f"  loaded {i + 1}/{len(wav_scp)} ({(i + 1) / (time.time() - t0):.1f}/s)")
+
+    wavs = [(u, p) for u, p in items if p.lower().endswith(".wav")]
+    rest = [(u, p) for u, p in items if not p.lower().endswith(".wav")]
+    if wavs and native.available():
+        max_samples = 31 * 48000  # 30 s guard + headroom at up to 48 kHz sources
+        chunk_rows = 32  # bounds the staging buffer to ~190 MB
+        for i in range(0, len(wavs), chunk_rows):
+            chunk = wavs[i : i + chunk_rows]
+            audio, lengths, rates = native.load_wav_batch([p for _, p in chunk], max_samples)
+            for j, (utt, path) in enumerate(chunk):
+                n, sr = int(lengths[j]), int(rates[j])
+                if n <= 0:  # non-PCM/exotic wav: python/ffmpeg fallback
+                    _fallback(utt, path)
+                    continue
+                a = audio[j, :n]
+                if sr != target_sr:
+                    a = native.resample_native(a, sr, target_sr)
+                out.append((utt, a))
+            if progress and (i + chunk_rows) % 512 < chunk_rows and i:
+                print(f"  loaded {min(i + chunk_rows, len(wavs))}/{len(items)} ({(i + chunk_rows) / (time.time() - t0):.1f}/s)")
+    else:
+        wavs_fallback = wavs
+        for i, (utt, path) in enumerate(wavs_fallback):
+            _fallback(utt, path)
+            if progress and (i + 1) % 500 == 0:
+                print(f"  loaded {i + 1}/{len(items)} ({(i + 1) / (time.time() - t0):.1f}/s)")
+    for utt, path in rest:
+        _fallback(utt, path)
     return out
 
 

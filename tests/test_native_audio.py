@@ -48,3 +48,28 @@ def test_load_wav_batch(lib_ok, tmp_path, rng):
     assert (rates[:5] == 16000).all()
     ref, _ = pyaudio.read_wav(paths[2])
     np.testing.assert_allclose(out[2, :10000], ref, atol=1e-6)
+
+
+def test_load_utts_native_path(lib_ok, tmp_path, rng):
+    """extract.load_utts through the native batch loader must match the
+    python per-file path (incl. a 24k file that needs resampling and a
+    non-wav fallback entry)."""
+    from fangyan_tts_tpu.data.extract import load_utts
+
+    scp = {}
+    for i, sr in enumerate((16000, 16000, 24000)):
+        x = (rng.standard_normal(sr + i * 997) * 0.2).astype(np.float32)
+        p = tmp_path / f"u{i}.wav"
+        pyaudio.write_wav(p, x, sr)
+        scp[f"u{i}"] = str(p)
+
+    got = dict(load_utts(scp, target_sr=16000, progress=False))
+    assert set(got) == set(scp)
+    for utt, path in scp.items():
+        ref, _ = pyaudio.load_audio(path, target_sr=16000)
+        a = got[utt]
+        # native/python resamplers differ by <=1 trailing sample (floor vs
+        # ceil output length) — immaterial for feature extraction
+        assert abs(len(a) - len(ref)) <= 1
+        n = min(len(a), len(ref))
+        np.testing.assert_allclose(a[100 : n - 100], ref[100 : n - 100], atol=2e-4)
