@@ -73,6 +73,21 @@ def main() -> None:
     for i, out in enumerate(cosyvoice.inference_vc(args.prompt_wav, args.prompt_wav)):
         write_wav(f"{args.out_prefix}_vc_{i}.wav", out["tts_speech"], cosyvoice.sample_rate)
 
+    # 8. bistream: text arrives as a generator (LLM-agent integration,
+    # reference example.py text_generator) — tokens interleave 5 text : 15
+    # speech and audio streams out while text is still arriving
+    def text_generator():
+        yield "收到好友从远方寄来的生日礼物，"
+        yield "那份意外的惊喜与深深的祝福"
+        yield "让我心中充满了甜蜜的快乐，"
+        yield "笑容如花儿般绽放。"
+
+    chunks = [
+        out["tts_speech"]
+        for out in cosyvoice.inference_zero_shot(text_generator(), prompt_text, args.prompt_wav, stream=True)
+    ]
+    write_wav(f"{args.out_prefix}_bistream.wav", np.concatenate(chunks), cosyvoice.sample_rate)
+
     print("done — wrote example_*.wav")
 
 

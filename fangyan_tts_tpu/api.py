@@ -147,10 +147,10 @@ class CosyVoice3:
     def inference_zero_shot(self, tts_text, prompt_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True):
         prompt_text_norm = self.frontend.text_normalize(prompt_text, split=False, text_frontend=text_frontend)
         for seg in self.frontend.text_normalize(tts_text, split=True, text_frontend=text_frontend):
-            if len(seg) < 0.5 * len(prompt_text_norm):
+            if not hasattr(seg, "__next__") and len(seg) < 0.5 * len(prompt_text_norm):
                 logging.warning("synthesis text %s too short than prompt text %s, this may lead to bad performance", seg, prompt_text_norm)
             mi = self.frontend.frontend_zero_shot(seg, prompt_text_norm, prompt_wav, zero_shot_spk_id)
-            yield from self._run(mi, stream, speed, seg)
+            yield from self._run(mi, stream, speed, "<bistream>" if hasattr(seg, "__next__") else seg)
 
     def inference_cross_lingual(self, tts_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True):
         for seg in self.frontend.text_normalize(tts_text, split=True, text_frontend=text_frontend):

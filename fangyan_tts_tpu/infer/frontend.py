@@ -63,7 +63,13 @@ class Frontend:
 
     # ---- primitives ---------------------------------------------------------
 
-    def extract_text_token(self, text: str) -> np.ndarray:
+    def extract_text_token(self, text) -> np.ndarray:
+        """str -> token ids; a text GENERATOR (LLM-agent bistream input,
+        frontend.py:79-93) maps to a generator of per-piece token arrays,
+        which the model's bistream path consumes incrementally."""
+        if hasattr(text, "__next__"):
+            return (np.asarray(self.tokenizer.encode(piece, allowed_special=self.allowed_special), np.int32)
+                    for piece in text)
         return np.asarray(self.tokenizer.encode(text, allowed_special=self.allowed_special), np.int32)
 
     def extract_speech_token(self, wav_16k: np.ndarray) -> np.ndarray:
@@ -101,7 +107,9 @@ class Frontend:
         )
         return np.asarray(mel)[0].T  # (T, 80)
 
-    def text_normalize(self, text: str, split: bool = True, text_frontend: bool = True):
+    def text_normalize(self, text, split: bool = True, text_frontend: bool = True):
+        if hasattr(text, "__next__"):  # bistream generator input: pass through
+            return [text] if split else text
         return _text_normalize(
             text,
             lambda t: self.tokenizer.encode(t, allowed_special=self.allowed_special),

@@ -123,3 +123,19 @@ def test_quant_int8_through_full_api(model_dir):
     assert len(outs[0]["tts_speech"]) > 0 and np.isfinite(outs[0]["tts_speech"]).all()
     outs = list(m.model.tts(text=np.arange(8, dtype=np.int32), stream=True))
     assert sum(len(o["tts_speech"]) for o in outs) > 0
+
+
+def test_bistream_generator_text_through_api(model, model_dir):
+    """tts_text as a GENERATOR rides the bistream path end-to-end through
+    the public API (reference cosyvoice.py Generator pass-through +
+    frontend._extract_text_token_generator)."""
+
+    def gen():
+        yield "你好，"
+        yield "世界。"
+
+    outs = list(
+        model.inference_zero_shot(gen(), "提示词。", str(model_dir / "prompt.wav"), stream=True)
+    )
+    audio = np.concatenate([o["tts_speech"] for o in outs])
+    assert len(audio) > 0 and np.isfinite(audio).all()
