@@ -114,6 +114,22 @@ class CosyVoice3TTS:
         )
         self.llm = CosyVoice3LM(self.cfg.llm, dtype=self.dtype)
 
+    def shard_token2wav(self, mesh) -> None:
+        """Multi-chip token2wav serving: tensor-parallel-shard the flow
+        params (Megatron pattern on the DiT — qkv/ff column, out/down row,
+        one psum per block riding ICI; parallel/sharding.py rules) and
+        replicate the small vocoder. The existing jitted streaming programs
+        re-lower automatically for the sharded layouts, so every windowed
+        hop's DiT matmuls split across the mesh. Validated TP=2 == TP=1 in
+        tests/test_mesh_sharding.py."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharding import shard_pytree
+
+        self.flow_params = shard_pytree(self.flow_params, mesh)
+        repl = NamedSharding(mesh, P())
+        self.hift_params = jax.tree.map(lambda x: jax.device_put(x, repl), self.hift_params)
+
     def warmup_streaming(self, prompt_token_len: int = 0, n_tokens: int | None = None) -> None:
         """Pre-compile the streaming program set for one prompt shape (young
         flow chunks + windowed flow + the global vocoder programs) by running

@@ -56,9 +56,11 @@ def param_pspec(path: str, shape: tuple[int, ...], mesh: Mesh) -> P:
     if tp > 1:
         for pat, spec in _TP_RULES:
             if re.search(pat, path):
-                # stacked-layer params (leading L axis from nn.scan) get an
-                # extra leading None
-                if len(shape) == len(spec) + 1 and "layers/" in path:
+                # stacked-layer params (leading L axis from nn.scan — the
+                # Qwen2 'layers/' stack AND the DiT 'blocks/' stack) get an
+                # extra leading None; a rank mismatch of exactly one on a
+                # rule-matched kernel always means the scan axis
+                if len(shape) == len(spec) + 1:
                     spec = P(None, *spec)
                 ok = all(
                     s is None or (shape[i] % mesh.shape[s] == 0)

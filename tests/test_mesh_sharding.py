@@ -204,3 +204,46 @@ def test_batch_pspec_uses_data_axes():
     assert sh.spec == P(("dp", "fsdp"))
     x = jax.device_put(jnp.zeros((8, 4)), sh)
     assert x.sharding.spec == P(("dp", "fsdp"))
+
+
+def test_tp_sharded_flow_stream_matches_single():
+    """Multi-chip token2wav: a TP=2-sharded flow (shard_token2wav) must
+    produce the same windowed streaming hop mel as the single-device run —
+    the Megatron column/row split on the DiT is layout-only."""
+    import numpy as np
+
+    from fangyan_tts_tpu.config import (
+        CosyVoiceConfig, DiTConfig, FlowConfig, HiFTConfig, LLMConfig, QwenConfig,
+    )
+    from fangyan_tts_tpu.infer.stream import FlowStream
+    from fangyan_tts_tpu.infer.tts import CosyVoice3TTS
+
+    cfg = CosyVoiceConfig(
+        llm=LLMConfig(
+            llm_input_size=32, llm_output_size=32, speech_token_size=64, extra_tokens=8,
+            qwen=QwenConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                            num_attention_heads=2, num_key_value_heads=1, head_dim=16, vocab_size=128),
+        ),
+        flow=FlowConfig(vocab_size=64, n_timesteps=2,
+                        dit=DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, static_chunk_size=50)),
+        hift=HiFTConfig(base_channels=32, f0_cond_channels=16, stream_noise_seconds=2),
+    )
+    tts = CosyVoice3TTS.random_init(cfg, dtype=jnp.float32)
+    tts.stream_window_tokens = 50
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 60, size=80).astype(np.int32)
+    emb = rng.standard_normal(192).astype(np.float32)
+    pf = np.zeros((0, 80), np.float32)
+
+    def two_hops():
+        fs = FlowStream(tts, np.zeros(0, np.int32), pf, emb, prompt_pad=0)
+        a = np.asarray(fs.step(tokens))
+        b = np.asarray(fs.step(tokens))  # hop 2: the windowed program
+        return a, b
+
+    a1, b1 = two_hops()
+    mesh = make_mesh(tp=2, devices=jax.devices()[:2])
+    tts.shard_token2wav(mesh)
+    a2, b2 = two_hops()
+    np.testing.assert_allclose(a2, a1, atol=2e-4)
+    np.testing.assert_allclose(b2, b1, atol=2e-4)
