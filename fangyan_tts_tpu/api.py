@@ -293,11 +293,7 @@ class CosyVoice(CosyVoice3):
         # v1 stays fp32: the legacy stack is small and the reference serves
         # it fp32 (cli/cosyvoice.py:39 warns fp16 off for v1)
         if fp16:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "CosyVoice (v1) ignores fp16=True and runs fp32, matching the reference"
-            )
+            logging.warning("CosyVoice (v1) ignores fp16=True and runs fp32, matching the reference")
         self.model = CosyVoiceV1TTS(
             llm, load_params(paths["llm"]), flow, load_params(paths["flow"]),
             cfg.hift, load_params(paths["hift"]),

@@ -80,7 +80,15 @@ def load_utts(wav_scp: dict[str, str], target_sr: int = 16000, progress: bool = 
 
     wavs = [(u, p) for u, p in items if p.lower().endswith(".wav")]
     rest = [(u, p) for u, p in items if not p.lower().endswith(".wav")]
+
+    def _tick() -> None:
+        if progress and len(out) and len(out) % 500 == 0:
+            print(f"  loaded {len(out)}/{len(items)} ({len(out) / (time.time() - t0):.1f}/s)")
+
     if wavs and native.available():
+        # NOTE: the native parser silently caps at max_samples; downstream
+        # extraction truncates at 30 s anyway (_batched_buckets), but warn so
+        # a capped file is never a mystery.
         max_samples = 31 * 48000  # 30 s guard + headroom at up to 48 kHz sources
         chunk_rows = 32  # bounds the staging buffer to ~190 MB
         for i in range(0, len(wavs), chunk_rows):
@@ -91,20 +99,22 @@ def load_utts(wav_scp: dict[str, str], target_sr: int = 16000, progress: bool = 
                 if n <= 0:  # non-PCM/exotic wav: python/ffmpeg fallback
                     _fallback(utt, path)
                     continue
-                a = audio[j, :n]
+                if n == max_samples:
+                    print(f"  ⚠️ {utt} capped at {max_samples / sr:.0f}s by the native loader")
+                # copy: audio[j, :n] is a VIEW keeping the whole 190 MB
+                # staging buffer alive for as long as the row is referenced
+                a = audio[j, :n].copy()
                 if sr != target_sr:
                     a = native.resample_native(a, sr, target_sr)
                 out.append((utt, a))
-            if progress and (i + chunk_rows) % 512 < chunk_rows and i:
-                print(f"  loaded {min(i + chunk_rows, len(wavs))}/{len(items)} ({(i + chunk_rows) / (time.time() - t0):.1f}/s)")
+                _tick()
     else:
-        wavs_fallback = wavs
-        for i, (utt, path) in enumerate(wavs_fallback):
+        for utt, path in wavs:
             _fallback(utt, path)
-            if progress and (i + 1) % 500 == 0:
-                print(f"  loaded {i + 1}/{len(items)} ({(i + 1) / (time.time() - t0):.1f}/s)")
+            _tick()
     for utt, path in rest:
         _fallback(utt, path)
+        _tick()
     return out
 
 

@@ -63,7 +63,7 @@ class Frontend:
 
     # ---- primitives ---------------------------------------------------------
 
-    def extract_text_token(self, text) -> np.ndarray:
+    def extract_text_token(self, text):
         """str -> token ids; a text GENERATOR (LLM-agent bistream input,
         frontend.py:79-93) maps to a generator of per-piece token arrays,
         which the model's bistream path consumes incrementally."""

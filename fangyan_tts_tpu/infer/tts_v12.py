@@ -275,6 +275,11 @@ class CosyVoice2TTS:
         speed: float = 1.0,
         **kwargs,
     ) -> Generator[dict, None, None]:
+        if hasattr(text, "__next__"):
+            raise NotImplementedError(
+                "bistream generator text is a CosyVoice3 feature here; the "
+                "v2 stack decodes a fixed token plan (use str tts_text)"
+            )
         hop = self.token_hop
         la = self.flow.pre_lookahead_len
         flow_embedding = np.asarray(flow_embedding, np.float32).reshape(-1)
@@ -501,6 +506,11 @@ class CosyVoiceV1TTS:
         speed: float = 1.0,
         **kwargs,
     ) -> Generator[dict, None, None]:
+        if hasattr(text, "__next__"):
+            raise NotImplementedError(
+                "bistream generator text is a CosyVoice3 feature here; the "
+                "v1 stack decodes a fixed token plan (use str tts_text)"
+            )
         session: dict = {}
         flow_embedding = np.asarray(flow_embedding, np.float32).reshape(-1)
         llm_embedding = np.asarray(llm_embedding, np.float32).reshape(-1)
