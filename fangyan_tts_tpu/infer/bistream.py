@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import LLMConfig
-from ..models.llm import CosyVoice3LM, bistream_append
+from ..models.llm import CosyVoice3LM, Qwen2LMV2, bistream_append
 from ..ops.sampling import ras_sample
 
 
@@ -43,13 +43,19 @@ def inference_bistream(
     c: LLMConfig = model.cfg
     mt, ms = c.mix_ratio  # 5, 15
     key = key if key is not None else jax.random.PRNGKey(0)
+    # CosyVoice2 id layout (llm.py:277-301): sos/task live in the 2-row
+    # llm_embedding table (src=2), fill = speech_token_size + 2
+    v2 = isinstance(model, Qwen2LMV2)
+    sos_seg = ([2], [0]) if v2 else ([1], [c.sos])
+    task_seg = ([2], [1]) if v2 else ([1], [c.task_id])
+    fill_id = c.speech_token_size + 2 if v2 else c.fill
 
     def seg(src_vals, id_vals):
         n = len(id_vals)
         return (jnp.asarray([src_vals], jnp.int32), jnp.asarray([id_vals], jnp.int32), n)
 
     # [sos] prefix (llm.py:549)
-    src, ids, n = seg([1], [c.sos])
+    src, ids, n = seg(*sos_seg)
     cache, logits, seq_pos = bistream_append(model, params, None, jnp.asarray(0, jnp.int32), src, ids, n, cache_len)
 
     text_cache: list[int] = list(np.asarray(prompt_text, np.int32))
@@ -87,7 +93,7 @@ def inference_bistream(
         if speech_cache:
             continue
         # need a text block after a fill (or at stream start) (llm.py:571-583)
-        if (out_tokens and out_tokens[-1] == c.fill) or (not out_tokens and not appended_any):
+        if (out_tokens and out_tokens[-1] == fill_id) or (not out_tokens and not appended_any):
             if len(text_cache) >= mt:
                 t5, text_cache = text_cache[:mt], text_cache[mt:]
                 append([0] * mt, t5)
@@ -97,12 +103,12 @@ def inference_bistream(
         # decode until the next fill (llm.py:584-605)
         while len(out_tokens) < max_tokens:
             if next_fill_index != -1 and len(out_tokens) == next_fill_index:
-                tok = c.fill
+                tok = fill_id
                 next_fill_index += ms + 1
             else:
                 tok = sample_one(non_stop)
             out_tokens.append(tok)
-            if tok == c.fill:
+            if tok == fill_id:
                 # The fill token is never fed to the model: the reference
                 # replaces lm_input with the next 5-text-token block after a
                 # fill (llm.py:571-583) and training never inputs fill, so
@@ -116,7 +122,7 @@ def inference_bistream(
     if text_cache:
         for t in text_cache:
             append([0], [t])
-    append([1], [c.task_id])
+    append(*task_seg)
     while len(out_tokens) < max_tokens:
         tok = sample_one(np.ones(c.head_size, bool))
         out_tokens.append(tok)

@@ -275,17 +275,34 @@ class CosyVoice2TTS:
         speed: float = 1.0,
         **kwargs,
     ) -> Generator[dict, None, None]:
-        if hasattr(text, "__next__"):
-            raise NotImplementedError(
-                "bistream generator text is a CosyVoice3 feature here; the "
-                "v2 stack decodes a fixed token plan (use str tts_text)"
-            )
         hop = self.token_hop
         la = self.flow.pre_lookahead_len
         flow_embedding = np.asarray(flow_embedding, np.float32).reshape(-1)
         session: dict = {}
 
-        if source_speech_token.shape[0] == 0:
+        if hasattr(text, "__next__"):
+            # bistream: text arrives as a generator — the v2 Qwen2LM shares
+            # the 5:15 interleave protocol (llm.py:527-625) with remapped
+            # special ids (infer/bistream.py handles Qwen2LMV2)
+            from .bistream import inference_bistream
+
+            def _bistream_iter():
+                buf = []
+                for tok in inference_bistream(
+                    self.llm, self.llm_params, text,
+                    prompt_text=np.asarray(prompt_text, np.int32),
+                    prompt_speech=np.asarray(llm_prompt_speech_token, np.int32),
+                    key=self.next_key(),
+                ):
+                    buf.append(tok)
+                    if len(buf) >= 8:
+                        yield np.asarray(buf, np.int32)
+                        buf = []
+                if buf:
+                    yield np.asarray(buf, np.int32)
+
+            token_iter = _bistream_iter()
+        elif source_speech_token.shape[0] == 0:
             # CosyVoice2Model.silent_tokens is empty (model.py:271) — no
             # silent-run suppression in v2
             token_iter = self._stream_tokens(text, prompt_text, llm_prompt_speech_token) if stream else iter(
@@ -295,7 +312,8 @@ class CosyVoice2TTS:
             token_iter = iter([np.asarray(source_speech_token, np.int32)])
 
         if not stream:
-            tokens = np.concatenate(list(token_iter))
+            arrs = list(token_iter)
+            tokens = np.concatenate(arrs) if arrs else np.zeros(0, np.int32)
             audio = self.token2wav(
                 tokens, flow_prompt_speech_token, prompt_speech_feat, flow_embedding,
                 token_offset=0, session=session, finalize=True, speed=speed,

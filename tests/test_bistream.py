@@ -56,3 +56,31 @@ def test_bistream_protocol_emits_tokens():
                                    key=jax.random.PRNGKey(0), cache_len=512, max_tokens=120))
     assert len(toks) > 0
     assert all(0 <= t < CFG.speech_token_size for t in toks)
+
+
+def test_bistream_v2_id_layout():
+    """Qwen2LMV2 rides the same 5:15 protocol with its remapped special ids
+    (sos/task via the 2-row llm_embedding table, fill = size+2,
+    llm.py:277-301 + :527-625): tokens emit and stay in-vocabulary."""
+    from fangyan_tts_tpu.models.llm import Qwen2LMV2
+
+    cfg = LLMConfig(llm_input_size=64, llm_output_size=64, speech_token_size=50, extra_tokens=3,
+                    qwen=QwenConfig(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                                    num_attention_heads=4, num_key_value_heads=2, head_dim=16, vocab_size=300))
+    model = Qwen2LMV2(cfg, dtype=jnp.float32)
+    t = jnp.zeros((1, 8), jnp.int32)
+    params = fast_init(model, 0, t, t, jnp.asarray([8]), t)
+
+    def text_gen():
+        rng = np.random.default_rng(0)
+        for _ in range(3):
+            yield rng.integers(0, 200, size=6).astype(np.int32)
+
+    toks = list(
+        inference_bistream(model, params, text_gen(),
+                           prompt_text=np.arange(4, dtype=np.int32),
+                           prompt_speech=np.arange(10, dtype=np.int32),
+                           key=jax.random.PRNGKey(1), max_tokens=60)
+    )
+    assert len(toks) > 0
+    assert all(0 <= t < cfg.speech_token_size for t in toks)  # fill/eos never yielded

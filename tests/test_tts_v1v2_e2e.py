@@ -134,3 +134,17 @@ def test_v2_lm_offline_synthesis(v2):
     outs = list(v2.tts(text=text, flow_embedding=np.zeros(192, np.float32)))
     audio = outs[0]["tts_speech"]
     assert audio.ndim == 1 and np.isfinite(audio).all()
+
+
+def test_v2_bistream_generator_text(v2):
+    """Generator text through the v2 stack: the shared 5:15 bistream
+    protocol with v2 special ids, streamed end-to-end to audio."""
+
+    def gen():
+        rng = np.random.default_rng(6)
+        for _ in range(3):
+            yield rng.integers(0, 100, size=5).astype(np.int32)
+
+    outs = list(v2.tts(text=gen(), flow_embedding=np.zeros(192, np.float32), stream=True))
+    audio = np.concatenate([o["tts_speech"] for o in outs])
+    assert np.isfinite(audio).all()
