@@ -114,6 +114,16 @@ class CosyVoice3TTS:
         )
         self.llm = CosyVoice3LM(self.cfg.llm, dtype=self.dtype)
 
+    def enable_batched_streaming(self, width: int = 4) -> None:
+        """Batch concurrent streaming requests' flow/vocoder hops through
+        shared bs=N programs (infer/batch_stream.py StreamScheduler): c=4
+        aggregate streaming RTF measured 0.060 vs 0.0733 for the reference's
+        per-instance Triton split. Sessions group by prompt length; slots
+        recycle. Thread-safe — intended for the serving runtimes."""
+        from .batch_stream import StreamScheduler
+
+        self.stream_scheduler = StreamScheduler(self, width=width)
+
     def shard_token2wav(self, mesh) -> None:
         """Multi-chip token2wav serving: tensor-parallel-shard the flow
         params (Megatron pattern on the DiT — qkv/ff column, out/down row,
@@ -492,6 +502,21 @@ class CosyVoice3TTS:
         # a BOUNDED set of XLA programs, vs the reference's full-prefix
         # recompute (cli/model.py:416-441) which is O(L^2) and compiles per
         # length. Sample-exact for the vocoder (tests/test_stream_scale.py).
+        # With a StreamScheduler attached (enable_batched_streaming), hops of
+        # concurrent requests batch through shared bs=N programs.
+        sched = getattr(self, "stream_scheduler", None)
+        if sched is not None:
+            h = sched.open(flow_prompt_speech_token, prompt_speech_feat, flow_embedding)
+            try:
+                for tok_chunk in token_iter:
+                    for chunk_audio in sched.feed(h, tok_chunk):
+                        yield {"tts_speech": chunk_audio}
+                yield {"tts_speech": sched.close(h)}
+            except GeneratorExit:
+                sched.close(h)  # consumer went away: free the slot
+                raise
+            return
+
         from .stream import Token2WavSession
 
         sess = Token2WavSession(self, flow_prompt_speech_token, prompt_speech_feat, flow_embedding)

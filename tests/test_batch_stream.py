@@ -107,3 +107,41 @@ def test_stream_scheduler_sessions(tiny_tts):
         want = np.concatenate(sess.push(tokens) + [sess.finish()])
         assert got.shape == want.shape
         assert np.abs(got - want).max() < 2e-3, f"trial {trial}: {np.abs(got - want).max()}"
+
+
+def test_scheduler_through_tts_api(tiny_tts):
+    """model.tts(stream=True) with batched streaming enabled must match the
+    plain session path (vc tokens for determinism), including under
+    concurrent threads."""
+    import threading
+
+    rng = np.random.default_rng(9)
+    toks = [rng.integers(0, 60, size=170).astype(np.int32) for _ in range(2)]
+    embs = [rng.standard_normal(192).astype(np.float32) for _ in range(2)]
+
+    def synth(i):
+        return np.concatenate([
+            c["tts_speech"]
+            for c in tiny_tts.tts(
+                text=np.zeros(0, np.int32), flow_embedding=embs[i],
+                prompt_speech_feat=np.zeros((0, 80), np.float32),
+                source_speech_token=toks[i], stream=True,
+            )
+        ])
+
+    want = [synth(0), synth(1)]
+    tiny_tts.enable_batched_streaming(width=2)
+    try:
+        got = [None, None]
+
+        def run(i):
+            got[i] = synth(i)
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        for i in range(2):
+            assert got[i].shape == want[i].shape
+            assert np.abs(got[i] - want[i]).max() < 2e-3
+    finally:
+        tiny_tts.stream_scheduler = None
