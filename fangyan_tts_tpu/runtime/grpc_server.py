@@ -92,11 +92,17 @@ def main(argv=None) -> None:
     parser.add_argument("--max_conc", type=int, default=4)
     parser.add_argument("--model_dir", type=str, required=True)
     parser.add_argument("--quant_int8", action="store_true", help="weight-only int8 LLM decode (ops/quant.py)")
+    parser.add_argument(
+        "--batched_streams", type=int, default=0,
+        help="batch concurrent streaming requests' flow/vocoder hops (bs=N shared programs)",
+    )
     args = parser.parse_args(argv)
 
     from ..api import AutoModel
 
     model = AutoModel(model_dir=args.model_dir, quant_int8=args.quant_int8)
+    if args.batched_streams and hasattr(model.model, "enable_batched_streaming"):
+        model.model.enable_batched_streaming(args.batched_streams)
     server = serve(model, args.port, args.max_conc)
     print(f"grpc serving on :{args.port}")
     server.wait_for_termination()
