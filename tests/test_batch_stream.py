@@ -145,3 +145,49 @@ def test_scheduler_through_tts_api(tiny_tts):
             assert np.abs(got[i] - want[i]).max() < 2e-3
     finally:
         tiny_tts.stream_scheduler = None
+
+
+def test_scheduler_session_churn(tiny_tts):
+    """Randomized open/feed/close churn across prompt-length groups: slots
+    must recycle cleanly and every session's audio must match its direct
+    session replay."""
+    from fangyan_tts_tpu.infer.batch_stream import StreamScheduler
+    from fangyan_tts_tpu.infer.stream import Token2WavSession
+
+    rng = np.random.default_rng(11)
+    sched = StreamScheduler(tiny_tts, width=2)
+    pfeat = np.zeros((0, 80), np.float32)
+    live = {}  # handle -> (tokens, emb, pos, chunks)
+    finished = []
+    for step in range(40):
+        op = rng.random()
+        if (op < 0.35 and len(live) < 5) or not live:
+            n = int(rng.integers(100, 220))
+            tokens = rng.integers(0, 60, size=n).astype(np.int32)
+            emb = rng.standard_normal(192).astype(np.float32)
+            h = sched.open(np.zeros(0, np.int32), pfeat, emb)
+            live[h] = [tokens, emb, 0, []]
+        else:
+            h = list(live)[int(rng.integers(len(live)))]
+            tokens, emb, pos, chunks = live[h]
+            if pos < len(tokens):
+                chunks += sched.feed(h, tokens[pos : pos + 50])
+                live[h][2] = pos + 50
+            else:
+                chunks.append(sched.close(h))
+                finished.append((tokens, emb, np.concatenate(chunks)))
+                del live[h]
+    for h in list(live):
+        tokens, emb, pos, chunks = live[h]
+        while pos < len(tokens):
+            chunks += sched.feed(h, tokens[pos : pos + 50])
+            pos += 50
+        chunks.append(sched.close(h))
+        finished.append((tokens, emb, np.concatenate(chunks)))
+
+    assert len(finished) >= 4
+    for tokens, emb, got in finished:
+        sess = Token2WavSession(tiny_tts, np.zeros(0, np.int32), pfeat, emb)
+        want = np.concatenate(sess.push(tokens) + [sess.finish()])
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() < 2e-3
