@@ -128,3 +128,45 @@ def test_grpc_server_roundtrip(tiny_model):
         assert len(pcm) > 1000
     finally:
         server.stop(None)
+
+
+def test_http_concurrent_batched_streams(tiny_model):
+    """Two concurrent streaming requests over real sockets with batched
+    streaming enabled: the scheduler batches their hops; both clients get
+    complete, finite audio."""
+    from fangyan_tts_tpu.runtime.http_server import serve
+
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, 50, size=90).astype(np.int32)
+
+    def streaming_sft(tts_text, spk_id):
+        yield from tiny_model.tts.tts(
+            text=np.zeros(0, np.int32), flow_embedding=np.zeros(192, np.float32),
+            source_speech_token=toks, stream=True,
+        )
+
+    orig = tiny_model.inference_sft
+    tiny_model.inference_sft = streaming_sft
+    tiny_model.tts.stream_window_tokens = 50
+    tiny_model.tts.enable_batched_streaming(2)
+    server = serve(tiny_model, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        results = [None, None]
+
+        def fetch(i):
+            url = f"http://127.0.0.1:{port}/inference_sft?tts_text=x&spk_id=s{i}"
+            with urllib.request.urlopen(url, timeout=300) as resp:
+                results[i] = np.frombuffer(resp.read(), dtype="<i2")
+
+        ts = [threading.Thread(target=fetch, args=(i,)) for i in range(2)]
+        [th.start() for th in ts]
+        [th.join() for th in ts]
+        for r in results:
+            assert r is not None and len(r) == len(toks) * 2 * 480
+    finally:
+        server.shutdown()
+        tiny_model.inference_sft = orig
+        tiny_model.tts.stream_scheduler = None
