@@ -309,7 +309,14 @@ class StreamScheduler:
 
     open(prompt...) -> handle; feed(handle, tokens) -> audio chunks for THAT
     handle; close(handle) -> tail audio. Chunks produced for other handles
-    by a shared step are buffered until their owners call feed/close."""
+    by a shared step are buffered until their owners call feed/close.
+
+    Batching efficiency note: each feed steps the hops that are ready AT
+    THAT MOMENT, so sessions batch fully when their clients feed at a
+    similar cadence (LLM-paced streams naturally converge); fully
+    asynchronous arrivals degrade toward per-hop serial execution but stay
+    correct. Drive BatchedStreamGroup directly for guaranteed-lockstep
+    batching (the measured c=4 RTF 0.060 configuration)."""
 
     def __init__(self, tts, width: int = 4):
         import threading
