@@ -1,10 +1,23 @@
 """Benchmark: CosyVoice3-0.5B end-to-end synthesis RTF on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: reference TRT-LLM+Triton offline RTF 0.0891 at concurrency 1 on an
-L20 (CosyVoice/runtime/triton_trtllm/README.md:107-109); the driver target is
-RTF < 0.1/chip (BASELINE.md). vs_baseline = baseline_rtf / our_rtf (>1 ==
-faster than the reference pipeline).
+Prints JSON metric lines (driver contract: {"metric", "value", "unit",
+"vs_baseline"}); the HEADLINE synthesis-RTF line is printed LAST:
+
+1. data_prep_stages0_4_utt_per_s_per_chip — end-to-end data prep: stage 0
+   (kaldi prep + validate) -> 1 (campplus embeddings) -> 2 (S3 speech
+   tokens) -> 3 (parquet shards + data.list) -> 4 (train-ready check: the
+   training pipeline yields a collated LLM batch). Baseline: driver target
+   >500 utt/s on v5e-8 => 62.5 utt/s/chip (BASELINE.md; reference pipeline
+   examples/dialect/cosyvoice3/run.sh:13-196).
+2. streaming_async_c4_rtf — 4 asynchronous client threads, each running its
+   own incremental LLM decode and feeding the StreamScheduler (dynamic
+   batching window). Baseline: reference Triton streaming c=4 RTF 0.0733
+   (runtime/triton_trtllm/README.md:101).
+3. cosyvoice3_synthesis_rtf_per_chip — single-utterance chained synthesis
+   (llm -> flow -> hift device-resident). Baseline: reference offline c=1
+   RTF 0.0891 (README.md:107-109); driver target RTF < 0.1/chip.
+   Includes init_s / compile_s so cold-start cost is driver-visible
+   (persistent XLA compilation cache: utils/compile_cache.py).
 
 Benches the real pipeline object (infer/tts.py CosyVoice3TTS, bf16 compute,
 weight-only int8 LLM kernels, fp32 f0 path) with full-size architecture and
@@ -19,6 +32,7 @@ early on the axon backend).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -29,14 +43,215 @@ def log(msg: str) -> None:
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+def emit(metric: str, value: float, unit: str, vs_baseline: float, **extra) -> None:
+    print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                      "vs_baseline": vs_baseline, **extra}), flush=True)
+
+
+def _write_wav(path, audio: np.ndarray, sr: int = 16000) -> None:
+    import struct
+    import wave
+
+    pcm = np.clip(audio * 32767.0, -32768, 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    _ = struct  # keep import local
+
+
+def bench_data_prep(rng) -> None:
+    """Stages 0-4 on a synthesized in-repo corpus, timed end-to-end."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from fangyan_tts_tpu.data.extract import extract_embeddings, extract_speech_tokens
+    from fangyan_tts_tpu.data.parquet import make_parquet_list
+    from fangyan_tts_tpu.models.campplus import CAMPPlus
+    from fangyan_tts_tpu.models.s3tokenizer import S3TokenizerV3
+    from fangyan_tts_tpu.utils.init import fast_init
+
+    n_utts, sr, dur_s = 128, 16000, 5.0
+    root = tempfile.mkdtemp(prefix="bench_dataprep_")
+    raw = os.path.join(root, "raw")
+    os.makedirs(raw)
+    # corpus synthesis = the API/TPU generation phase, NOT stages 0-4: write
+    # the wavs before the timer (run.sh stage 0 starts from existing audio)
+    t = np.arange(int(sr * dur_s)) / sr
+    texts = {}
+    for i in range(n_utts):
+        f0 = 80.0 + 10.0 * (i % 12)
+        audio = 0.3 * np.sin(2 * np.pi * f0 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 3.1 * t))
+        audio += 0.02 * rng.standard_normal(len(t))
+        _write_wav(os.path.join(raw, f"utt{i:04d}.wav"), audio.astype(np.float32), sr)
+        texts[f"utt{i:04d}"] = f"这是第{i}句合成测试文本。"
+
+    # models: random init, full-size architecture (same compute as converted
+    # weights); bf16 params
+    camp, s3 = CAMPPlus(), S3TokenizerV3()
+    bf = lambda t_: jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16) if x.ndim >= 2 else jnp.asarray(x), t_)
+    cp = bf(fast_init(camp, 10, jnp.zeros((1, 98, 80))))
+    sp = bf(fast_init(s3, 11, jnp.zeros((1, 128, 100)), jnp.asarray([100])))
+
+    @jax.jit
+    def emb_fn(p, fbank):
+        return camp.apply({"params": p}, fbank.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    @jax.jit
+    def tok_fn(p, mel, mel_len):
+        return s3.apply({"params": p}, mel.astype(jnp.bfloat16), mel_len)
+
+    def warm(data_dir):
+        extract_embeddings(data_dir, lambda f, fl: emb_fn(cp, f), batch_size=64)
+        extract_speech_tokens(data_dir, lambda m, ml: tok_fn(sp, m, ml), batch_size=64)
+
+    def kaldi_prep(data_dir):
+        """Stage 0: kaldi files + instruct + validation (run.sh:13-21,
+        prepare_training_data.py --mode validate semantics)."""
+        os.makedirs(data_dir, exist_ok=True)
+        utts = sorted(texts)
+        with open(os.path.join(data_dir, "wav.scp"), "w") as fw, \
+             open(os.path.join(data_dir, "text"), "w") as ft, \
+             open(os.path.join(data_dir, "utt2spk"), "w") as fu, \
+             open(os.path.join(data_dir, "instruct"), "w") as fi:
+            for u in utts:
+                spk = f"spk{int(u[3:]) % 8}"
+                fw.write(f"{u} {os.path.join(raw, u + '.wav')}\n")
+                ft.write(f"{u} {texts[u]}\n")
+                fu.write(f"{u} {spk}\n")
+                fi.write(f"{u} 请用普通话说。<|endofprompt|>\n")
+        spk2utt = {}
+        for u in utts:
+            spk2utt.setdefault(f"spk{int(u[3:]) % 8}", []).append(u)
+        with open(os.path.join(data_dir, "spk2utt"), "w") as f:
+            for s, us in sorted(spk2utt.items()):
+                f.write(f"{s} {' '.join(us)}\n")
+        # validation: required files exist with matching line counts
+        counts = {}
+        for name in ("wav.scp", "text", "utt2spk", "instruct"):
+            with open(os.path.join(data_dir, name)) as f:
+                counts[name] = sum(1 for _ in f)
+        assert len(set(counts.values())) == 1, f"kaldi line counts differ: {counts}"
+
+    def train_ready_check(list_path) -> int:
+        """Stage 4: the training pipeline must yield a collated LLM batch
+        from the packed shards (data/dataset.py build_pipeline)."""
+        from fangyan_tts_tpu.config import CosyVoiceConfig
+        from fangyan_tts_tpu.data.dataset import build_pipeline
+
+        class _Tok:  # byte tokenizer stand-in: stage 4 checks plumbing/shapes
+            def encode(self, s, **kw):
+                return list(s.encode("utf-8"))
+
+        cfg = CosyVoiceConfig()
+        it = build_pipeline(str(list_path), _Tok(), mel_fn=None, mode="llm",
+                            llm_cfg=cfg.llm, shuffle_size=64, sort_size=32)
+        batch = next(iter(it))
+        assert "ids" in batch and batch["ids"].ndim == 2
+        return int(batch["ids"].shape[0])
+
+    # warm the extraction programs on a throwaway dir (compile time is the
+    # persistent-cache story, measured separately; steady-state throughput
+    # is what the >500 utt/s target describes)
+    wdir = os.path.join(root, "warm")
+    kaldi_prep(wdir)
+    warm(wdir)
+
+    data_dir = os.path.join(root, "data")
+    pq_dir = os.path.join(root, "parquet")
+    t0 = time.time()
+    kaldi_prep(data_dir)                                                   # stage 0
+    t1 = time.time()
+    extract_embeddings(data_dir, lambda f, fl: emb_fn(cp, f), batch_size=64)   # stage 1
+    t2 = time.time()
+    extract_speech_tokens(data_dir, lambda m, ml: tok_fn(sp, m, ml), batch_size=64)  # stage 2
+    t3 = time.time()
+    make_parquet_list(data_dir, pq_dir, num_utts_per_parquet=64, instruct=True)  # stage 3
+    t4 = time.time()
+    bs = train_ready_check(os.path.join(pq_dir, "data.list"))              # stage 4
+    t5 = time.time()
+    total = t5 - t0
+    ups = n_utts / total
+    log(
+        f"data prep stages 0-4: {n_utts} utts ({dur_s:.0f}s each) in {total:.2f}s -> "
+        f"{ups:.0f} utt/s/chip (stage0 {t1 - t0:.2f} emb {t2 - t1:.2f} tok {t3 - t2:.2f} "
+        f"parquet {t4 - t3:.2f} train-ready {t5 - t4:.2f}, llm batch bs={bs})"
+    )
+    emit("data_prep_stages0_4_utt_per_s_per_chip", round(ups, 1), "utt/s", round(ups / 62.5, 3))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_async_streaming(tts, rng) -> None:
+    """4 asynchronous client threads -> StreamScheduler dynamic batching.
+    Each thread runs its OWN incremental LLM decode (deterministic 200
+    tokens via min=max ratio) and feeds hops as they arrive — the
+    reference's async-client Triton c=4 configuration (README.md:95-101)."""
+    import threading
+
+    from fangyan_tts_tpu.infer.batch_stream import StreamScheduler
+
+    n_clients = 4
+    text_len, ratio = 10, 20.0  # 200 tokens = 8 s audio each
+    sched = StreamScheduler(tts, width=n_clients)
+    texts = [rng.integers(0, 50000, (text_len,)).astype(np.int32) for _ in range(n_clients)]
+    embs = [rng.standard_normal(192).astype(np.float32) for _ in range(n_clients)]
+    audio_out = [0] * n_clients
+    errs: list = []
+
+    def client(i):
+        try:
+            h = sched.open(np.zeros(0, np.int32), np.zeros((0, 80), np.float32), embs[i])
+            chunks = []
+            for arr in tts._stream_tokens(texts[i], np.zeros(0, np.int32), np.zeros(0, np.int32),
+                                          min_token_text_ratio=ratio, max_token_text_ratio=ratio):
+                chunks += sched.feed(h, arr)
+            chunks.append(sched.close(h))
+            audio_out[i] = sum(len(c) for c in chunks)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def run_once():
+        ts = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+        t0 = time.time()
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        return time.time() - t0
+
+    run_once()  # warm the streaming program set (young + windowed + voc)
+    if errs:
+        log(f"async c4 skipped: {errs[0]!r}")
+        return
+    wall = run_once()
+    if errs:
+        log(f"async c4 skipped: {errs[0]!r}")
+        return
+    audio_s = sum(audio_out) / tts.cfg.sample_rate
+    rtf = wall / audio_s
+    s = sched.stats
+    log(
+        f"async streaming c=4: {wall:.2f}s wall for {audio_s:.1f}s audio -> aggregate RTF "
+        f"{rtf:.4f} (batching rows/steps {s['rows']}/{s['steps']} = {s['rows'] / max(s['steps'], 1):.2f})"
+    )
+    emit("streaming_async_c4_rtf", round(rtf, 4), "rtf", round(0.0733 / rtf, 3))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from fangyan_tts_tpu.config import CosyVoiceConfig
+    from fangyan_tts_tpu.data.lm_plan import build_prompt_plan, pad_plans_left
     from fangyan_tts_tpu.infer.tts import CosyVoice3TTS
     from fangyan_tts_tpu.models.llm import generate_speech_tokens
-    from fangyan_tts_tpu.data.lm_plan import build_prompt_plan, pad_plans_left
+    from fangyan_tts_tpu.utils.compile_cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    n_entries = sum(len(files) for _, _, files in os.walk(cache_dir)) if cache_dir else 0
+    log(f"compilation cache: {cache_dir} ({n_entries} entries)")
 
     cfg = CosyVoiceConfig()
     rng = np.random.default_rng(0)
@@ -45,7 +260,8 @@ def main() -> None:
     t0 = time.time()
     tts = CosyVoice3TTS.random_init(cfg, dtype=jnp.bfloat16)
     tts.quantize_llm()  # weight-only int8 serving mode (ops/quant.py)
-    log(f"init (fast_init all 3 models, int8 llm): {time.time() - t0:.1f}s")
+    init_s = time.time() - t0
+    log(f"init (fast_init all 3 models, int8 llm): {init_s:.1f}s")
 
     # ---- workload: one utterance, 150 speech tokens = 6s of audio @25Hz
     n_tokens = 150
@@ -67,7 +283,8 @@ def main() -> None:
     t0 = time.time()
     r = run_llm(jax.random.PRNGKey(0))
     np.asarray(r.tokens)
-    log(f"llm compile+first: {time.time() - t0:.1f}s")
+    llm_compile_s = time.time() - t0
+    log(f"llm compile+first: {llm_compile_s:.1f}s")
     t0 = time.time()
     r = run_llm(jax.random.PRNGKey(1))
     np.asarray(r.tokens)
@@ -82,7 +299,8 @@ def main() -> None:
     # ---- stage 2: flow (token2mel)
     t0 = time.time()
     mel = tts.token2mel(tokens, prompt_tokens, prompt_feat, emb)
-    log(f"flow compile+first: {time.time() - t0:.1f}s")
+    flow_compile_s = time.time() - t0
+    log(f"flow compile+first: {flow_compile_s:.1f}s")
     t0 = time.time()
     mel = tts.token2mel(tokens, prompt_tokens, prompt_feat, emb)
     flow_s = time.time() - t0
@@ -91,7 +309,8 @@ def main() -> None:
     # ---- stage 3: vocoder
     t0 = time.time()
     audio = tts.vocode(mel)
-    log(f"hift compile+first: {time.time() - t0:.1f}s")
+    hift_compile_s = time.time() - t0
+    log(f"hift compile+first: {hift_compile_s:.1f}s")
     t0 = time.time()
     audio = tts.vocode(mel)
     hift_s = time.time() - t0
@@ -129,6 +348,12 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         log(f"extraction diag skipped: {e}")
 
+    # ---- data prep stages 0-4 end-to-end (driver target #1)
+    try:
+        bench_data_prep(rng)
+    except Exception as e:  # noqa: BLE001
+        log(f"data prep bench skipped: {e!r}")
+
     # ---- diagnostics: batched offline throughput (reference best: TRT-LLM
     # bs16 + DiT token2wav, offline RTF 0.0292 on L20, README.DIT.md)
     try:
@@ -141,6 +366,12 @@ def main() -> None:
         log(f"batched offline bs16: {dt16:.2f}s for {a16:.1f}s audio -> RTF {dt16 / a16:.4f}")
     except Exception as e:  # noqa: BLE001
         log(f"bs16 diag skipped: {e}")
+
+    # ---- async concurrent streaming (reference Triton c=4: RTF 0.0733)
+    try:
+        bench_async_streaming(tts, rng)
+    except Exception as e:  # noqa: BLE001
+        log(f"async c4 bench skipped: {e!r}")
 
     # ---- chained end-to-end: llm -> flow -> hift all device-resident, one
     # final audio fetch (how a serving process runs it; per-stage timings
@@ -158,15 +389,16 @@ def main() -> None:
     total = time.time() - t0
     rtf = total / audio_seconds
     baseline_rtf = 0.0891
-    print(json.dumps({
-        "metric": "cosyvoice3_synthesis_rtf_per_chip",
-        "value": round(rtf, 4),
-        "unit": "rtf",
-        "vs_baseline": round(baseline_rtf / rtf, 3),
-    }), flush=True)
+    compile_s = llm_compile_s + flow_compile_s + hift_compile_s
+    emit(
+        "cosyvoice3_synthesis_rtf_per_chip", round(rtf, 4), "rtf", round(baseline_rtf / rtf, 3),
+        init_s=round(init_s, 1), compile_s=round(compile_s, 1),
+        llm_compile_s=round(llm_compile_s, 1),
+    )
     log(
         f"total={total:.3f}s (chained) audio={audio_seconds:.1f}s rtf={rtf:.4f} "
-        f"(stage-timed: llm {llm_s:.2f} flow {flow_s:.2f} hift {hift_s:.2f})"
+        f"(stage-timed: llm {llm_s:.2f} flow {flow_s:.2f} hift {hift_s:.2f}; "
+        f"init {init_s:.1f}s compile {compile_s:.1f}s)"
     )
 
 

@@ -76,7 +76,9 @@ class CosyVoice3:
         quant_int8: bool = False,
     ):
         from .models.convert import flow_params_from_reference, hift_params_from_reference, llm_params_from_reference
+        from .utils.compile_cache import enable_compilation_cache
 
+        enable_compilation_cache()  # cold-start: reuse compiled programs across processes
         self.model_dir = Path(model_dir)
         cfg = CosyVoiceConfig()
         cfg_path = self.model_dir / "config.json"
@@ -201,7 +203,9 @@ class CosyVoice2(CosyVoice3):
             llm_v2_params_from_reference,
         )
         from .models.flow_xvec import CausalMaskedDiffWithXvec
+        from .utils.compile_cache import enable_compilation_cache
 
+        enable_compilation_cache()
         self.model_dir = Path(model_dir)
         from .config import _to_jsonable
 
@@ -262,7 +266,9 @@ class CosyVoice(CosyVoice3):
         )
         from .models.flow_xvec import MaskedDiffWithXvec
         from .models.llm_v1 import TransformerLM
+        from .utils.compile_cache import enable_compilation_cache
 
+        enable_compilation_cache()
         self.model_dir = Path(model_dir)
         from .config import _to_jsonable
 

@@ -28,10 +28,10 @@ def _load_pt(path: str | Path) -> dict:
     return torch.load(str(path), map_location="cpu", weights_only=False)
 
 
-def _as_list(x):
+def _as_np(x) -> np.ndarray:
     if hasattr(x, "numpy"):
         x = x.numpy()
-    return np.asarray(x).tolist()
+    return np.asarray(x)
 
 
 def pack_shard(
@@ -43,29 +43,35 @@ def pack_shard(
     instruct: bool = False,
     dpo: bool = False,
 ) -> float:
-    import pandas as pd
+    # pyarrow directly (not via pandas): object-column DataFrame round-trips
+    # cost ~5x more on the single-core host and pyarrow takes numpy arrays
+    # without tolist() conversion; the written schema/columns are unchanged
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=8) as ex:
         data_list = list(ex.map(lambda u: open(maps["utt2wav"][u], "rb").read(), utt_list))
-    df = pd.DataFrame()
-    df["utt"] = utt_list
-    df["wav"] = [maps["utt2wav"][u] for u in utt_list]
-    df["audio_data"] = data_list
-    df["text"] = [maps["utt2text"][u] for u in utt_list]
-    df["spk"] = [maps["utt2spk"][u] for u in utt_list]
-    df["utt_embedding"] = [_as_list(maps["utt2embedding"][u]) for u in utt_list]
-    df["spk_embedding"] = [_as_list(maps["spk2embedding"][maps["utt2spk"][u]]) for u in utt_list]
-    df["speech_token"] = [_as_list(maps["utt2speech_token"].get(u, [])) for u in utt_list]
+    spks = [maps["utt2spk"][u] for u in utt_list]
+    cols = {
+        "utt": utt_list,
+        "wav": [maps["utt2wav"][u] for u in utt_list],
+        "audio_data": pa.array(data_list, type=pa.binary()),
+        "text": [maps["utt2text"][u] for u in utt_list],
+        "spk": spks,
+        "utt_embedding": [_as_np(maps["utt2embedding"][u]).astype(np.float32) for u in utt_list],
+        "spk_embedding": [_as_np(maps["spk2embedding"][s]).astype(np.float32) for s in spks],
+        "speech_token": [_as_np(maps["utt2speech_token"].get(u, [])).astype(np.int64) for u in utt_list],
+    }
     if dpo:
-        df["reject_speech_token"] = [_as_list(maps["utt2reject_speech_token"][u]) for u in utt_list]
+        cols["reject_speech_token"] = [_as_np(maps["utt2reject_speech_token"][u]).astype(np.int64) for u in utt_list]
     if instruct:
-        df["instruct"] = [maps["utt2instruct"][u] for u in utt_list]
-    df.to_parquet(parquet_file)
+        cols["instruct"] = [maps["utt2instruct"][u] for u in utt_list]
+    pq.write_table(pa.table(cols), parquet_file)
     with open(utt2parquet_file, "w", encoding="utf-8") as f:
         json.dump({u: parquet_file for u in utt_list}, f, ensure_ascii=False, indent=2)
     with open(spk2parquet_file, "w", encoding="utf-8") as f:
-        json.dump({s: parquet_file for s in set(df["spk"])}, f, ensure_ascii=False, indent=2)
+        json.dump({s: parquet_file for s in set(spks)}, f, ensure_ascii=False, indent=2)
     return time.time() - t0
 
 

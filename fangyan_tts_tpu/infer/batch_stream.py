@@ -20,6 +20,8 @@ sequential path is tested in tests/test_batch_stream.py.
 
 from __future__ import annotations
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -99,7 +101,8 @@ class BatchedStreamGroup:
                 zt = noise_buf[0][idx]  # (B, W*ratio, mel)
                 z = jnp.concatenate([zp, zt], axis=1).astype(mu.dtype)
                 mel = cfm_solve(fcfg, p["estimator"], z, mu, spks, conds, mel_len, streaming=True)
-                end = l_mel - 2 * pad
+                # held-back region is pad TOKENS * ratio mel frames
+                end = l_mel - pad * ratio
                 return mel[:, end - h : end]  # (B, H, 80) newest grid hop per row
 
             t._batch_jit[key] = fn
@@ -305,76 +308,161 @@ class BatchedStreamGroup:
 class StreamScheduler:
     """Serving front for batched streaming: live sessions are grouped by
     prompt length into BatchedStreamGroups of fixed width; finished slots
-    are recycled. Thread-safe (one lock; device work is serialized anyway).
+    are recycled.
 
     open(prompt...) -> handle; feed(handle, tokens) -> audio chunks for THAT
     handle; close(handle) -> tail audio. Chunks produced for other handles
     by a shared step are buffered until their owners call feed/close.
 
-    Batching efficiency note: each feed steps the hops that are ready AT
-    THAT MOMENT, so sessions batch fully when their clients feed at a
-    similar cadence (LLM-paced streams naturally converge); fully
-    asynchronous arrivals degrade toward per-hop serial execution but stay
-    correct. Drive BatchedStreamGroup directly for guaranteed-lockstep
-    batching (the measured c=4 RTF 0.060 configuration)."""
+    Dynamic batching (the reference's Triton dynamic-batching role,
+    runtime/triton_trtllm/README.md:95-101): independently-paced client
+    threads share bs=N programs via a small arrival window. A feed whose
+    slot has a ready hop elects a LEADER, which waits up to `window_s`
+    (or until every open session has a hop ready) for other threads' feeds
+    to land, then runs the batched group step OUTSIDE the group lock;
+    followers whose hops get swept into that step just wait for their audio.
+    Token appends never block on device work, so arrivals keep landing
+    while a step is in flight — asynchronous clients batch like lockstep
+    ones within one window. Exactness vs sequential single streams is
+    unchanged (per-row absolute noise offsets; tests/test_batch_stream.py).
+    """
 
-    def __init__(self, tts, width: int = 4):
+    def __init__(self, tts, width: int = 4, window_s: float = 0.015):
         import threading
 
         self.t = tts
         self.width = width
+        self.window_s = window_s
         self.groups: dict = {}  # P -> list[BatchedStreamGroup]
         self.sessions: dict = {}  # handle -> (group, slot)
         self.buffers: dict = {}  # handle -> [np.ndarray]
         self.free: dict = {}  # P -> [(group, slot)]
         self._seq = 0
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()  # scheduler dicts only; never held
+        self._threading = threading  # across device work or g._cond waits
+        # batching telemetry: rows/steps = average sessions advanced per
+        # batched step (1.0 = serial, width = perfect lockstep)
+        self.stats = {"steps": 0, "rows": 0}
+
+    def _init_group_sync(self, g) -> None:
+        g._cond = self._threading.Condition()
+        g._stepping = False  # a thread is running g.step()/finish() exclusively
+        g._collecting = False  # a leader is inside its arrival window
 
     def open(self, prompt_token, prompt_feat, embedding) -> int:
         with self._lock:
             p = len(np.asarray(prompt_token))
-            if self.free.get(p):
-                g, slot = self.free[p].pop()
-                g.reset_slot(slot, prompt_token, prompt_feat, embedding)
-            else:
+            entry = self.free[p].pop() if self.free.get(p) else None
+            if entry is None:
                 slots = [(np.asarray(prompt_token, np.int32), prompt_feat, embedding)] * self.width
                 g = BatchedStreamGroup(self.t, slots)
+                self._init_group_sync(g)
+                g._owners = {}
                 self.groups.setdefault(p, []).append(g)
                 for s in range(1, self.width):
                     self.free.setdefault(p, []).append((g, s))
                 slot = 0
+            else:
+                g, slot = entry
             self._seq += 1
             h = self._seq
+        # group mutation happens under the group's own cond, excluded from steps
+        with g._cond:
+            while g._stepping:
+                g._cond.wait()
+            if entry is not None:
+                g.reset_slot(slot, prompt_token, prompt_feat, embedding)
+            g._owners[slot] = h
+        with self._lock:
             self.sessions[h] = (g, slot)
             self.buffers[h] = []
-            g._owners = getattr(g, "_owners", {})
-            g._owners[slot] = h
-            return h
+        return h
 
-    def _drain(self, g) -> None:
-        while True:
-            chunks = g.step()
-            if not chunks:
-                return
-            for slot, audio in chunks:
-                owner = g._owners.get(slot)
-                if owner is not None:
-                    self.buffers[owner].append(audio)
+    def _distribute(self, g, chunks) -> None:
+        for slot, audio in chunks:
+            owner = g._owners.get(slot)
+            if owner is not None:
+                self.buffers.setdefault(owner, []).append(audio)
+
+    def _ready_count(self, g) -> int:
+        return sum(1 for s in g._owners if g._hop_ready(s))
+
+    def _run_steps(self, g) -> None:
+        """Run batched steps until no hop is ready. Caller set g._stepping;
+        g._cond is NOT held — feeds keep appending tokens concurrently
+        (np array slot assignment is atomic; step reads each slot once)."""
+        try:
+            all_chunks = []
+            while True:
+                chunks = g.step()
+                if not chunks:
+                    break
+                self.stats["steps"] += 1
+                self.stats["rows"] += len(chunks)
+                all_chunks.extend(chunks)
+        finally:
+            with g._cond:
+                self._distribute(g, all_chunks)
+                g._stepping = False
+                g._cond.notify_all()
 
     def feed(self, handle: int, tokens) -> list:
         with self._lock:
             g, slot = self.sessions[handle]
+        with g._cond:
             g.feed(slot, tokens)
-            self._drain(g)
+            g._cond.notify_all()  # wake a collecting leader: more hops may be ready
+            while True:
+                if not g._hop_ready(slot):
+                    break  # our hop isn't ready (or a step consumed it) -> hand out audio
+                if g._stepping or g._collecting:
+                    g._cond.wait(0.1)  # a leader will sweep our hop in; re-check
+                    continue
+                # become leader: hold the arrival window, then step
+                g._collecting = True
+                if len(g._owners) > 1:
+                    deadline = self._monotonic() + self.window_s
+                    while self._ready_count(g) < len(g._owners):
+                        remaining = deadline - self._monotonic()
+                        if remaining <= 0:
+                            break
+                        g._cond.wait(remaining)
+                g._collecting = False
+                g._stepping = True
+                g._cond.release()
+                try:
+                    self._run_steps(g)  # resets g._stepping, notifies
+                finally:
+                    g._cond.acquire()
             out, self.buffers[handle] = self.buffers[handle], []
             return out
+
+    @staticmethod
+    def _monotonic() -> float:
+        return time.monotonic()
 
     def close(self, handle: int) -> np.ndarray:
         with self._lock:
             g, slot = self.sessions.pop(handle)
-            self._drain(g)
-            pending = self.buffers.pop(handle)
+        with g._cond:
+            while g._stepping or g._collecting:
+                g._cond.wait(0.1)
+            g._stepping = True  # exclusive: drain remaining hops + finalize
+        try:
+            drained = []
+            while True:
+                chunks = g.step()
+                if not chunks:
+                    break
+                drained.extend(chunks)
             tail = g.finish(slot)
-            del g._owners[slot]
+        finally:
+            with g._cond:
+                self._distribute(g, drained)
+                g._stepping = False
+                del g._owners[slot]
+                g._cond.notify_all()
+        with self._lock:
+            pending = self.buffers.pop(handle, [])
             self.free.setdefault(len(g.fs[slot].prompt_tokens), []).append((g, slot))
-            return np.concatenate(pending + [tail]) if pending else tail
+        return np.concatenate(pending + [tail]) if pending else tail

@@ -265,7 +265,9 @@ class FlowStream:
                 @jax.jit
                 def emit(mel):
                     h = self.H
-                    end = l_mel - 2 * pad
+                    # pad is in TOKENS; the held-back region is pad*ratio mel
+                    # frames (== 2*pad only when token_mel_ratio == 2)
+                    end = l_mel - pad * ratio
                     return mel[:, end - h : end]
 
             # NOTE: conditioning is an ARGUMENT — this callable is cached on

@@ -2,10 +2,13 @@
 
 Behavioral reference: cosyvoice/utils/frontend_utils.py:21-136 and the
 wetext/ttsfrd fallback chain in cli/frontend.py:56-75. This build ships a
-self-contained normalizer: the reference's external ttsfrd binary / wetext
-WFSTs are replaced by built-in Chinese/English number reading and symbol
-cleanup (the subset exercised by the dialect/emotion pipelines); `<|...|>`
-markup always bypasses normalization, matching frontend.py:131-134.
+self-contained normalizer replacing the reference's external ttsfrd binary /
+wetext WFSTs with rule chains covering the wetext tagger categories: dates,
+times, percentages, fractions, currency, measure units, phone numbers,
+ranges, negative numbers, and plain integer/decimal readings — for zh and
+the en equivalents (percent/currency/time/fraction). `<|...|>` markup always
+bypasses normalization, matching frontend.py:131-134. Category vectors:
+tests/test_textnorm_categories.py.
 """
 
 from __future__ import annotations
@@ -127,6 +130,154 @@ def _group_zh(g: int) -> str:
     return re.sub("零+", "零", "".join(s)).rstrip("零")
 
 
+def _digits_zh(s: str, phone: bool = False) -> str:
+    """Digit-by-digit reading; phone style reads 1 as 幺 (telephony usage)."""
+    table = "幺" if phone else "一"
+    return "".join("零" if c == "0" else (table if c == "1" and phone else _DIGITS_ZH[int(c)]) for c in s)
+
+
+def _num_zh(s: str) -> str:
+    """Integer-or-decimal string -> Chinese reading."""
+    if "." in s:
+        i, f = s.split(".", 1)
+        return number_to_words_zh(i or "0") + "点" + _digits_zh(f)
+    return number_to_words_zh(s)
+
+
+# zh measure units appended directly after a number (wetext measure.fst set)
+_UNITS_MAP_ZH = [
+    ("km/h", "千米每小时"), ("m/s", "米每秒"), ("kWh", "千瓦时"), ("kW", "千瓦"),
+    ("km²", "平方千米"), ("m²", "平方米"), ("cm²", "平方厘米"), ("m³", "立方米"),
+    ("mm", "毫米"), ("cm", "厘米"), ("km", "千米"), ("mg", "毫克"), ("kg", "千克"),
+    ("ml", "毫升"), ("℃", "摄氏度"), ("℉", "华氏度"), ("GB", "吉字节"),
+    ("MB", "兆字节"), ("KB", "千字节"), ("Hz", "赫兹"), ("h", "小时"),
+    ("g", "克"), ("L", "升"), ("m", "米"), ("s", "秒"),
+]
+
+_CURRENCY_ZH = {"￥": "元", "¥": "元", "$": "美元", "€": "欧元", "£": "英镑"}
+_CURRENCY_EN = {"$": ("dollar", "dollars"), "€": ("euro", "euros"), "£": ("pound", "pounds")}
+
+
+def normalize_categories_zh(text: str) -> str:
+    """wetext-category readings for zh: runs BEFORE generic number spelling
+    so each tagged span becomes plain Chinese; untouched digit runs fall
+    through to spell_out_number. Reference: the wetext WFST chain behind
+    cli/frontend.py:63-75."""
+    # phone numbers: 11-digit mobiles and area-code-hyphen landlines read
+    # digit-by-digit with 幺 for 1
+    text = re.sub(r"(?<!\d)(1[3-9]\d{9})(?!\d)", lambda m: _digits_zh(m.group(1), phone=True), text)
+    text = re.sub(
+        r"(?<!\d)(0\d{2,3})-(\d{7,8})(?!\d)",
+        lambda m: _digits_zh(m.group(1), phone=True) + _digits_zh(m.group(2), phone=True),
+        text,
+    )
+    # dates: YYYY年M月D日 / YYYY-MM-DD / YYYY/M/D / M月D日; years read digit-wise
+    def _date_cjk(m):
+        out = _digits_zh(m.group(1)) + "年"
+        if m.group(2):
+            out += number_to_words_zh(m.group(2)) + "月"
+        if m.group(3):
+            out += number_to_words_zh(m.group(3)) + "日"
+        return out
+
+    text = re.sub(r"(\d{4})年(?:(\d{1,2})月)?(?:(\d{1,2})[日号])?", _date_cjk, text)
+    text = re.sub(
+        r"(?<!\d)(\d{4})[-/](\d{1,2})[-/](\d{1,2})(?!\d)",
+        lambda m: _digits_zh(m.group(1)) + "年" + number_to_words_zh(m.group(2)) + "月"
+        + number_to_words_zh(m.group(3)) + "日",
+        text,
+    )
+    text = re.sub(
+        r"(?<!\d)(\d{1,2})月(\d{1,2})[日号]",
+        lambda m: number_to_words_zh(m.group(1)) + "月" + number_to_words_zh(m.group(2)) + "日",
+        text,
+    )
+    # times: HH:MM(:SS)
+    def _time(m):
+        h, mi, se = m.group(1), m.group(2), m.group(3)
+        out = number_to_words_zh(h) + "点"
+        if int(mi):
+            out += ("零" if mi[0] == "0" and int(mi) else "") + number_to_words_zh(mi) + "分"
+        if se is not None and int(se):
+            out += number_to_words_zh(se) + "秒"
+        return out
+
+    text = re.sub(r"(?<!\d)(\d{1,2}):(\d{2})(?::(\d{2}))?(?!\d)", _time, text)
+    # percent: X% -> 百分之X (also ±)
+    text = re.sub(
+        r"-?\d+(?:\.\d+)?%",
+        lambda m: ("负" if m.group(0).startswith("-") else "") + "百分之" + _num_zh(m.group(0).lstrip("-")[:-1]),
+        text,
+    )
+    # fractions: X/Y -> Y分之X
+    text = re.sub(
+        r"(?<![\d/])(\d{1,3})/(\d{1,3})(?![\d/])",
+        lambda m: number_to_words_zh(m.group(2)) + "分之" + number_to_words_zh(m.group(1)),
+        text,
+    )
+    # currency: ￥200 / $3.5 -> amount + unit
+    def _curr(m):
+        return _num_zh(m.group(2)) + _CURRENCY_ZH[m.group(1)]
+
+    text = re.sub(r"([￥¥$€£])\s*(\d+(?:\.\d+)?)", _curr, text)
+    # ranges: 3~5 / 3-5 (digit-digit) -> 三到五
+    text = re.sub(
+        r"(?<!\d)(\d+(?:\.\d+)?)[~～-](\d+(?:\.\d+)?)(?!\d)",
+        lambda m: _num_zh(m.group(1)) + "到" + _num_zh(m.group(2)),
+        text,
+    )
+    # measure units directly after a number (longest-first table)
+    for unit, reading in _UNITS_MAP_ZH:
+        text = re.sub(r"(\d(?:\.\d+)?)" + re.escape(unit) + r"(?![A-Za-z0-9²³])",
+                      lambda m, r=reading: m.group(1) + r, text)
+    # negative numbers: leading minus directly before a digit
+    text = re.sub(r"(?<![\dA-Za-z)])-(?=\d)", "负", text)
+    # leftover range tildes between already-normalized spans
+    text = text.replace("~", "到").replace("～", "到")
+    return text
+
+
+def normalize_categories_en(text: str) -> str:
+    """en equivalents: percent, currency, clock times, common fractions."""
+    text = re.sub(r"(\d+(?:\.\d+)?)%", r"\1 percent", text)
+
+    def _curr(m):
+        sym, amt = m.group(1), m.group(2)
+        one, many = _CURRENCY_EN[sym]
+        unit = one if amt == "1" else many
+        if "." in amt:
+            i, f = amt.split(".", 1)
+            cents = int(f.ljust(2, "0")[:2])
+            out = number_to_words_en(i or "0") + " " + (one if i == "1" else many)
+            if cents:
+                out += " " + number_to_words_en(str(cents)) + (" cent" if cents == 1 else " cents")
+            return out
+        return number_to_words_en(amt) + " " + unit
+
+    text = re.sub(r"([$€£])\s*(\d+(?:\.\d+)?)", _curr, text)
+
+    def _time(m):
+        h, mi = int(m.group(1)), m.group(2)
+        out = number_to_words_en(str(h))
+        if int(mi) == 0:
+            out += " o'clock"
+        elif int(mi) < 10:
+            out += " oh " + number_to_words_en(str(int(mi)))
+        else:
+            out += " " + number_to_words_en(mi)
+        return out
+
+    text = re.sub(r"(?<!\d)(\d{1,2}):(\d{2})(?!\d)", _time, text)
+    frac_map = {"1/2": "one half", "1/3": "one third", "2/3": "two thirds",
+                "1/4": "one quarter", "3/4": "three quarters"}
+    text = re.sub(
+        r"(?<![\d/])(\d{1,3})/(\d{1,3})(?![\d/])",
+        lambda m: frac_map.get(m.group(0), number_to_words_en(m.group(1)) + " over " + number_to_words_en(m.group(2))),
+        text,
+    )
+    return text
+
+
 def spell_out_number(text: str, lang: str = "en") -> str:
     """Replace digit runs with words (frontend_utils.py:42-58 analogue;
     zh mode also reads decimals/percent)."""
@@ -211,6 +362,7 @@ def text_normalize(
     if contains_chinese(text):
         text = text.replace("\n", "")
         text = replace_blank(text)
+        text = normalize_categories_zh(text)
         text = replace_corner_mark(text)
         text = spell_out_number(text, "zh")
         text = text.replace(".", "。").replace(" - ", "，")
@@ -218,6 +370,7 @@ def text_normalize(
         text = re.sub(r"[，,、]+$", "。", text)
         texts = split_paragraph(text, tokenize, "zh", token_max_n=80, token_min_n=60, merge_len=20)
     else:
+        text = normalize_categories_en(text)
         text = spell_out_number(text, "en")
         texts = split_paragraph(text, tokenize, "en", token_max_n=80, token_min_n=60, merge_len=20)
     texts = [t for t in texts if not is_only_punctuation(t)]

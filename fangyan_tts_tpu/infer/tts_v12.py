@@ -39,7 +39,7 @@ from ..models.flow_xvec import (
     xvec_flow_inference,
     xvec_flow_inference_v1,
 )
-from ..models.hift import HiFT
+from ..models.hift import HiFT, nsf_gauss_buffer
 from ..models.llm import Qwen2LMV2, generate_speech_tokens
 from ..models.llm_v1 import TransformerLM
 from ..models.llm_v1_decode import v1_generate_cached
@@ -57,6 +57,61 @@ V1_HIFT = HiFTConfig(
 )
 
 
+class _HiFTVocoderMixin:
+    """Shared non-causal HiFT vocode path for the v1/v2 runtimes: jitted fns
+    cached by shape, additive NSF noise indexed at the chunk's ABSOLUTE
+    sample offset (the reference draws fresh torch.randn_like per call,
+    generator.py:184-186 — reusing the buffer head would give consecutive
+    streaming chunks position-correlated noise)."""
+
+    def _hift_fn(self, n_mel: int, n_cache: int):
+        key = ("hift", n_mel, n_cache)
+        if key not in self._jit:
+            hift = self.hift
+
+            if n_cache:
+                @jax.jit
+                def fn(p, mel, cache_source, noise_off, noise_buf):
+                    return hift.apply({"params": p}, mel, cache_source,
+                                      noise_offset=noise_off, noise_buf=noise_buf)
+            else:
+                @jax.jit
+                def fn(p, mel, noise_off, noise_buf):
+                    return hift.apply({"params": p}, mel,
+                                      noise_offset=noise_off, noise_buf=noise_buf)
+
+            self._jit[key] = fn
+        return self._jit[key]
+
+    def _gauss_buf(self):
+        if not hasattr(self, "_gauss_noise_dev"):
+            c = self.hift_cfg
+            buf = nsf_gauss_buffer(c.nb_harmonics + 1, c.stream_noise_seconds * c.sampling_rate)
+            self._gauss_noise_dev = jnp.asarray(buf)
+        return self._gauss_noise_dev
+
+    def vocode(self, mel: np.ndarray, cache_source: np.ndarray, noise_mel_base: int = 0,
+               pad_to: int | None = None):
+        """mel (L, 80), cache_source (Lc, 1) -> (audio (L*hop,), source).
+        noise_mel_base: absolute mel-frame index of mel[0] in the utterance
+        (positions the additive NSF noise). pad_to bucket-pads the mel
+        (final-chunk path; see module docstring)."""
+        true_len = mel.shape[0]
+        if pad_to is not None and pad_to > true_len:
+            mel = np.pad(mel, ((0, pad_to - true_len), (0, 0)))
+        fn = self._hift_fn(mel.shape[0], cache_source.shape[0])
+        off = jnp.asarray(noise_mel_base * self.hift_cfg.total_upsample, jnp.int32)
+        if cache_source.shape[0]:
+            audio, source = fn(self.hift_params, jnp.asarray(mel, self.dtype)[None],
+                               jnp.asarray(cache_source, self.dtype)[None], off, self._gauss_buf())
+        else:
+            audio, source = fn(self.hift_params, jnp.asarray(mel, self.dtype)[None], off, self._gauss_buf())
+        hop = self.hift_cfg.total_upsample
+        audio = np.asarray(audio[0, : true_len * hop].astype(jnp.float32))
+        source = np.asarray(source[0, : true_len * hop].astype(jnp.float32))
+        return audio, source
+
+
 def v2_llm_config(qwen: QwenConfig | None = None) -> LLMConfig:
     """CosyVoice2 LM layout (llm.py:277-301): head = size + 3 with the
     sos/task pair in a separate 2-row table."""
@@ -64,7 +119,7 @@ def v2_llm_config(qwen: QwenConfig | None = None) -> LLMConfig:
 
 
 @dataclass
-class CosyVoice2TTS:
+class CosyVoice2TTS(_HiFTVocoderMixin):
     """CosyVoice2Model equivalent (cli/model.py:245-389)."""
 
     llm_cfg: LLMConfig
@@ -173,23 +228,6 @@ class CosyVoice2TTS:
             self._jit[key] = fn
         return self._jit[key]
 
-    def _hift_fn(self, n_mel: int, n_cache: int):
-        key = ("hift", n_mel, n_cache)
-        if key not in self._jit:
-            hift = self.hift
-
-            if n_cache:
-                @jax.jit
-                def fn(p, mel, cache_source):
-                    return hift.apply({"params": p}, mel, cache_source)
-            else:
-                @jax.jit
-                def fn(p, mel):
-                    return hift.apply({"params": p}, mel)
-
-            self._jit[key] = fn
-        return self._jit[key]
-
     def token2mel(self, tokens, prompt_tokens, prompt_feat, embedding, token_offset: int, streaming, finalize):
         """flow.inference trimmed at token_offset (model.py:288-299).
         Returns np (L, 80) mel for tokens[token_offset:]."""
@@ -215,34 +253,19 @@ class CosyVoice2TTS:
         n = (valid - len(prompt_tokens) - token_offset) * r
         return np.asarray(mel[0, start : start + n].astype(jnp.float32))
 
-    def vocode(self, mel: np.ndarray, cache_source: np.ndarray, pad_to: int | None = None):
-        """mel (L, 80), cache_source (Lc, 1) -> (audio (L*hop,), source).
-        pad_to bucket-pads the mel (final-chunk path; see module docstring)."""
-        true_len = mel.shape[0]
-        if pad_to is not None and pad_to > true_len:
-            mel = np.pad(mel, ((0, pad_to - true_len), (0, 0)))
-        fn = self._hift_fn(mel.shape[0], cache_source.shape[0])
-        if cache_source.shape[0]:
-            audio, source = fn(self.hift_params, jnp.asarray(mel, self.dtype)[None], jnp.asarray(cache_source, self.dtype)[None])
-        else:
-            audio, source = fn(self.hift_params, jnp.asarray(mel, self.dtype)[None])
-        hop = self.hift_cfg.total_upsample
-        audio = np.asarray(audio[0, : true_len * hop].astype(jnp.float32))
-        source = np.asarray(source[0, : true_len * hop].astype(jnp.float32))
-        return audio, source
-
     def token2wav(self, tokens, prompt_tokens, prompt_feat, embedding, token_offset, session: dict,
                   stream=False, finalize=False, speed=1.0):
         """model.py:288-322: flow trim + hift cache + speech fade."""
         mel = self.token2mel(tokens, prompt_tokens, prompt_feat, embedding, token_offset, stream, finalize)
         cache = session.get("hift")
+        base = session.get("noise_mel_base", 0)  # abs mel index of mel[0]
         if cache is not None:
             mel = np.concatenate([cache["mel"], mel], axis=0)
             cache_source = cache["source"]
         else:
             cache_source = np.zeros((0, 1), np.float32)
         if not finalize:
-            audio, source = self.vocode(mel, cache_source)
+            audio, source = self.vocode(mel, cache_source, noise_mel_base=base)
             if cache is not None:
                 audio = fade_in_out(audio, cache["speech"], self.speech_window)
             session["hift"] = {
@@ -250,11 +273,12 @@ class CosyVoice2TTS:
                 "source": source[-self.source_cache_len :],  # (Lc, 1)
                 "speech": audio[-self.source_cache_len :],
             }
+            session["noise_mel_base"] = base + mel.shape[0] - self.mel_cache_len
             return audio[: -self.source_cache_len]
         if speed != 1.0:
             assert cache is None, "speed change only supports non-stream inference"
             mel = _interp_mel(mel, int(mel.shape[0] / speed))
-        audio, _ = self.vocode(mel, cache_source, pad_to=_round_up(mel.shape[0], 32))
+        audio, _ = self.vocode(mel, cache_source, noise_mel_base=base, pad_to=_round_up(mel.shape[0], 32))
         if cache is not None:
             audio = fade_in_out(audio, cache["speech"], self.speech_window)
         return audio
@@ -350,7 +374,7 @@ class CosyVoice2TTS:
 
 
 @dataclass
-class CosyVoiceV1TTS:
+class CosyVoiceV1TTS(_HiFTVocoderMixin):
     """CosyVoiceModel equivalent (cli/model.py:29-243)."""
 
     llm: TransformerLM
@@ -369,6 +393,15 @@ class CosyVoiceV1TTS:
         self.flow_params = _cast_params(self.flow_params, self.dtype)
         self.hift_params = _cast_params(self.hift_params, self.dtype, keep_f32=("f0_predictor",))
         fr = self.flow.input_frame_rate
+        # InterpolateRegulator.inference and xvec_flow_inference_v1 pin the
+        # 20-token chunk overlap to 34 mel frames (= int(20/50*22050/256)),
+        # valid only at 50 Hz tokens; a 25 Hz v1 checkpoint would silently
+        # mis-splice streaming overlaps and the z/mu flow cache — fail loudly.
+        assert fr == 50, (
+            f"CosyVoiceV1TTS streaming supports input_frame_rate=50 only "
+            f"(got {fr}): the regulator/flow-cache overlap is pinned to 34 "
+            f"mel frames (models/flow_xvec.py InterpolateRegulator.inference)"
+        )
         self.token_min_hop = 2 * fr  # model.py:41
         self.token_max_hop = 4 * fr
         self.token_overlap = 20
@@ -421,23 +454,6 @@ class CosyVoiceV1TTS:
             self._jit[key] = fn
         return self._jit[key]
 
-    def _hift_fn(self, n_mel: int, n_cache: int):
-        key = ("hift", n_mel, n_cache)
-        if key not in self._jit:
-            hift = self.hift
-
-            if n_cache:
-                @jax.jit
-                def fn(p, mel, cache_source):
-                    return hift.apply({"params": p}, mel, cache_source)
-            else:
-                @jax.jit
-                def fn(p, mel):
-                    return hift.apply({"params": p}, mel)
-
-            self._jit[key] = fn
-        return self._jit[key]
-
     def token2mel(self, tokens, prompt_tokens, prompt_feat, embedding, session: dict, finalize: bool):
         """v1 flow.inference with the z/mu cache (flow.py:102-145). tokens are
         the PENDING chunk (hop+overlap), not the full prefix."""
@@ -462,21 +478,6 @@ class CosyVoiceV1TTS:
         session["flow"] = new_cache
         return np.asarray(mel[0, mel1 : mel1 + mel2].astype(jnp.float32))
 
-    def vocode(self, mel: np.ndarray, cache_source: np.ndarray, pad_to: int | None = None):
-        true_len = mel.shape[0]
-        if pad_to is not None and pad_to > true_len:
-            mel = np.pad(mel, ((0, pad_to - true_len), (0, 0)))
-        fn = self._hift_fn(mel.shape[0], cache_source.shape[0])
-        if cache_source.shape[0]:
-            audio, source = fn(self.hift_params, jnp.asarray(mel, self.dtype)[None], jnp.asarray(cache_source, self.dtype)[None])
-        else:
-            audio, source = fn(self.hift_params, jnp.asarray(mel, self.dtype)[None])
-        hop = self.hift_cfg.total_upsample
-        return (
-            np.asarray(audio[0, : true_len * hop].astype(jnp.float32)),
-            np.asarray(source[0, : true_len * hop].astype(jnp.float32)),
-        )
-
     def token2wav(self, tokens, prompt_tokens, prompt_feat, embedding, session: dict, finalize=False, speed=1.0):
         """model.py:135-173: mel fade + hift mel/source/speech cache."""
         mel = self.token2mel(tokens, prompt_tokens, prompt_feat, embedding, session, finalize)
@@ -484,6 +485,7 @@ class CosyVoiceV1TTS:
             # fade along time: utils fade_in_out works on the last axis
             mel = fade_in_out(mel.T, session["mel_overlap"].T, self.mel_window).T
         cache = session.get("hift")
+        base = session.get("noise_mel_base", 0)  # abs mel index of mel_in[0]
         if cache is not None:
             mel_in = np.concatenate([cache["mel"], mel], axis=0)
             cache_source = cache["source"]
@@ -493,7 +495,7 @@ class CosyVoiceV1TTS:
         if not finalize:
             session["mel_overlap"] = mel_in[-self.mel_overlap_len :]
             mel_in = mel_in[: -self.mel_overlap_len]
-            audio, source = self.vocode(mel_in, cache_source)
+            audio, source = self.vocode(mel_in, cache_source, noise_mel_base=base)
             if cache is not None:
                 audio = fade_in_out(audio, cache["speech"], self.speech_window)
             session["hift"] = {
@@ -501,11 +503,12 @@ class CosyVoiceV1TTS:
                 "source": source[-self.source_cache_len :],  # (Lc, 1)
                 "speech": audio[-self.source_cache_len :],
             }
+            session["noise_mel_base"] = base + mel_in.shape[0] - self.mel_cache_len
             return audio[: -self.source_cache_len]
         if speed != 1.0:
             assert cache is None, "speed change only supports non-stream inference"
             mel_in = _interp_mel(mel_in, int(mel_in.shape[0] / speed))
-        audio, _ = self.vocode(mel_in, cache_source, pad_to=_round_up(mel_in.shape[0], 32))
+        audio, _ = self.vocode(mel_in, cache_source, noise_mel_base=base, pad_to=_round_up(mel_in.shape[0], 32))
         if cache is not None:
             audio = fade_in_out(audio, cache["speech"], self.speech_window)
         return audio

@@ -66,6 +66,17 @@ def nsf_gauss_noise(n_samples: int, harmonics_plus_one: int = 9) -> np.ndarray:
     return rng.standard_normal((1, n_samples, harmonics_plus_one)).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=2)
+def nsf_gauss_buffer(harmonics_plus_one: int = 9, max_samples: int = 120 * 24000) -> np.ndarray:
+    """Long deterministic gaussian buffer for streaming v1/v2 vocoding: the
+    leading slice [:, :n] equals nsf_gauss_noise(n) (same rng(1) fill order),
+    so chunked calls indexed at absolute sample offsets draw the SAME noise a
+    single full-utterance call would — unlike a fixed per-call draw, which
+    would give consecutive chunks position-correlated noise."""
+    rng = np.random.default_rng(1)
+    return rng.standard_normal((1, max_samples, harmonics_plus_one)).astype(np.float32)
+
+
 def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     """x + (1/(a+1e-9)) sin^2(ax); alpha per-channel (activation.py:73-84)."""
     a = alpha[None, None, :]
@@ -374,15 +385,24 @@ class HiFT(nn.Module):
         self.resblocks = res
         self.conv_post = PlainConv(c.base_channels // (2 ** len(c.upsample_rates)), nfft2, 7)
 
-    def __call__(self, mel: jnp.ndarray, cache_source: jnp.ndarray | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(
+        self,
+        mel: jnp.ndarray,
+        cache_source: jnp.ndarray | None = None,
+        noise_offset: jnp.ndarray | None = None,
+        noise_buf: jnp.ndarray | None = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """mel: (B, L, 80) -> (audio (B, L*hop), source).
 
         `cache_source` (B, Lc, 1) replaces the first Lc source samples with
         the previous chunk's NSF source (generator.py:553-560 inference) so
-        the sine phase is continuous across streaming chunks."""
+        the sine phase is continuous across streaming chunks. `noise_offset`
+        (scalar samples) + `noise_buf` position the additive NSF noise at the
+        chunk's absolute sample offset so consecutive streaming chunks draw
+        fresh (position-indexed) noise rather than reusing the buffer head."""
         c = self.cfg
         f0 = self.f0_predictor(mel.astype(jnp.float32))
-        s = self.m_source(f0).astype(mel.dtype)
+        s = self.m_source(f0, noise_offset=noise_offset, noise_buf=noise_buf).astype(mel.dtype)
         if cache_source is not None and cache_source.shape[1] > 0:
             lc = cache_source.shape[1]
             s = jnp.concatenate([cache_source.astype(s.dtype), s[:, lc:]], axis=1)

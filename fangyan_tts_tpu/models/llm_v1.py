@@ -208,7 +208,10 @@ def v1_generate_stream(
         if i < min_len:
             allowed[model.speech_token_size] = False
         recent = np.full(win, -1, np.int32)
-        tail = out[-win:]
+        # RAS window covers GENERATED tokens only: the reference samples
+        # against out_tokens which starts empty (llm.py:210-220), matching
+        # v1_generate_cached — prompt speech never enters the window.
+        tail = out[n_prompt:][-win:]
         recent[win - len(tail):] = tail
         tok = int(ras_sample(k, logp, jnp.asarray(recent), jnp.asarray(recent >= 0), jnp.asarray(allowed)))
         if tok == model.speech_token_size:

@@ -259,7 +259,9 @@ def v1_generate_cached(
     speech = np.zeros((1, ls_pad), np.int32)
     speech[0, :ls] = prompt_speech
     prompt_total = 3 + lt + ls
-    cache_len = _round_up(prompt_total + max(max_len, 1), 128)
+    # prefill writes 3 + lt_pad + ls_pad rows into the cache, which can exceed
+    # 3 + lt + ls + max_len when max_len is small — size for both.
+    cache_len = _round_up(max(prompt_total + max(max_len, 1), 3 + lt_pad + ls_pad), 128)
     if cache_len > MAX_POS:
         raise ValueError(
             f"v1 decode would reach position {cache_len} > rel-pos table extent "

@@ -10,6 +10,8 @@ import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 os.environ["JAX_PLATFORMS"] = "cpu"
+# don't pollute the repo's persistent TPU compilation cache with CPU entries
+os.environ.setdefault("FANGYAN_JAX_CACHE_DIR", "")
 
 import jax  # noqa: E402
 

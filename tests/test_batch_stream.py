@@ -147,6 +147,60 @@ def test_scheduler_through_tts_api(tiny_tts):
         tiny_tts.stream_scheduler = None
 
 
+def test_scheduler_async_clients(tiny_tts):
+    """4 independently-paced client threads at jittered cadences must (a)
+    each get byte-identical audio to a solo session replay and (b) actually
+    SHARE batched steps (rows/steps > 1.5), i.e. the arrival window turns
+    asynchronous feeds into dynamic batches rather than per-hop serial
+    execution — the Triton-dynamic-batching role
+    (runtime/triton_trtllm/README.md:95-101)."""
+    import threading
+    import time
+
+    from fangyan_tts_tpu.infer.batch_stream import StreamScheduler
+    from fangyan_tts_tpu.infer.stream import Token2WavSession
+
+    rng = np.random.default_rng(21)
+    n_clients = 4
+    sched = StreamScheduler(tiny_tts, width=n_clients, window_s=0.25)
+    pfeat = np.zeros((0, 80), np.float32)
+    ptok = np.zeros(0, np.int32)
+    toks = [rng.integers(0, 60, size=int(n)).astype(np.int32)
+            for n in rng.integers(180, 260, size=n_clients)]
+    embs = [rng.standard_normal(192).astype(np.float32) for _ in range(n_clients)]
+    jitters = [rng.random(32) * 0.01 for _ in range(n_clients)]  # 0-10 ms
+
+    got = [None] * n_clients
+    errs = []
+
+    def client(i):
+        try:
+            h = sched.open(ptok, pfeat, embs[i])
+            chunks = []
+            for j, pos in enumerate(range(0, len(toks[i]), 40)):
+                time.sleep(jitters[i][j % 32])  # jittered cadence
+                chunks += sched.feed(h, toks[i][pos : pos + 40])
+            chunks.append(sched.close(h))
+            got[i] = np.concatenate(chunks)
+        except Exception as e:  # surface thread failures to the test
+            errs.append(e)
+
+    ts = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+    [t.start() for t in ts]
+    [t.join(timeout=600) for t in ts]
+    assert not errs, errs
+
+    for i in range(n_clients):
+        sess = Token2WavSession(tiny_tts, ptok, pfeat, embs[i])
+        want = np.concatenate(sess.push(toks[i]) + [sess.finish()])
+        assert got[i].shape == want.shape, f"client {i}: {got[i].shape} vs {want.shape}"
+        assert np.abs(got[i] - want).max() < 2e-3, f"client {i} deviates"
+
+    s = sched.stats
+    assert s["steps"] > 0
+    assert s["rows"] / s["steps"] > 1.5, f"async batching degenerate: {s}"
+
+
 def test_scheduler_session_churn(tiny_tts):
     """Randomized open/feed/close churn across prompt-length groups: slots
     must recycle cleanly and every session's audio must match its direct

@@ -1,0 +1,124 @@
+"""WFST-category text normalization vectors (wetext/ttsfrd replacement).
+
+The reference normalizes dates, times, percentages, fractions, currency,
+measure units and phone numbers through wetext WFSTs / the ttsfrd binary
+(cosyvoice/cli/frontend.py:56-75); infer/textnorm.py replaces them with rule
+chains. Each vector is input -> expected normalized string through the full
+text_normalize pipeline (split=False)."""
+
+import pytest
+
+from fangyan_tts_tpu.infer.textnorm import (
+    normalize_categories_en,
+    normalize_categories_zh,
+    text_normalize,
+)
+
+
+def _norm(text: str) -> str:
+    return text_normalize(text, tokenize=lambda t: list(t), split=False)
+
+
+ZH_CASES = [
+    # dates
+    ("2024年8月17日，气温3.5℃。", "二零二四年八月十七日，气温三点五摄氏度。"),
+    ("今天是8月5日。", "今天是八月五日。"),
+    ("他出生于1998年。", "他出生于一九九八年。"),
+    ("日期2024-08-17。", "日期二零二四年八月十七日。"),
+    ("2024/8/7开幕。", "二零二四年八月七日开幕。"),
+    ("12月31号放假。", "十二月三十一日放假。"),
+    # times
+    ("会议时间08:30。", "会议时间八点三十分。"),
+    ("现在是14:05。", "现在是十四点零五分。"),
+    ("比赛在9:00开始。", "比赛在九点开始。"),
+    ("用时12:30:15。", "用时十二点三十分十五秒。"),
+    # percent
+    ("增长了3.5%。", "增长了百分之三点五。"),
+    ("下降了-2%。", "下降了负百分之二。"),
+    ("占比100%。", "占比百分之一百。"),
+    ("优惠50%~70%。", "优惠百分之五十到百分之七十。"),
+    # fractions
+    ("完成了3/4。", "完成了四分之三。"),
+    ("占比2/3。", "占比三分之二。"),
+    # currency
+    ("价格￥200。", "价格二百元。"),
+    ("共计¥1500。", "共计一千五百元。"),
+    ("价值$3.5。", "价值三点五美元。"),
+    ("捐了€20。", "捐了二十欧元。"),
+    ("花费£7。", "花费七英镑。"),
+    # units
+    ("时速120km/h。", "时速一百二十千米每小时。"),
+    ("体重65kg。", "体重六十五千克。"),
+    ("距离5km。", "距离五千米。"),
+    ("容量100ml。", "容量一百毫升。"),
+    ("气温-3℃。", "气温负三摄氏度。"),
+    ("华氏98℉。", "华氏九十八华氏度。"),
+    ("内存8GB。", "内存八吉字节。"),
+    ("面积50m²。", "面积五十平方米。"),
+    # phone numbers (幺 for 1, digit-by-digit)
+    ("电话13812345678。", "电话幺三八幺二三四五六七八。"),
+    ("手机号是13907211234。", "手机号是幺三九零七二幺幺二三四。"),
+    ("座机010-12345678。", "座机零幺零幺二三四五六七八。"),
+    # ranges
+    ("需要3~5天。", "需要三到五天。"),
+    ("大约2-3人。", "大约二到三人。"),
+    # plain numbers / decimals
+    ("第3名。", "第三名。"),
+    ("共有1234人。", "共有一千二百三十四人。"),
+    ("一共10000个。", "一共一万个。"),
+    ("约100000000元。", "约一亿元。"),
+    ("圆周率约3.14。", "圆周率约三点一四。"),
+    ("只剩0.5了。", "只剩零点五了。"),
+    ("编号205。", "编号二百零五。"),
+    ("第1001夜。", "第一千零一夜。"),
+    ("110路公交。", "一百一十路公交。"),
+]
+
+EN_CASES = [
+    ("It rose 3.5%.", "It rose three point five percent."),
+    ("He paid $200.", "He paid two hundred dollars."),
+    ("Just $1.", "Just one dollar."),
+    ("It costs $2.50.", "It costs two dollars fifty cents."),
+    ("Donate €5.", "Donate five euros."),
+    ("About £7.", "About seven pounds."),
+    ("Meet at 8:30.", "Meet at eight thirty."),
+    ("Meet at 9:05.", "Meet at nine oh five."),
+    ("Meet at 7:00.", "Meet at seven o'clock."),
+    ("Add 1/2 cup.", "Add one half cup."),
+    ("About 3/4 done.", "About three quarters done."),
+    ("Roughly 2/5 left.", "Roughly two over five left."),
+    ("He is 42.", "He is forty-two."),
+    ("It was 1234.", "It was one thousand two hundred thirty-four."),
+]
+
+
+@pytest.mark.parametrize("inp,want", ZH_CASES)
+def test_zh_category(inp, want):
+    assert _norm(inp) == want
+
+
+@pytest.mark.parametrize("inp,want", EN_CASES)
+def test_en_category(inp, want):
+    assert _norm(inp) == want
+
+
+def test_markup_bypasses_normalization():
+    t = "请用四川话说。<|endofprompt|>今天3.5%。"
+    assert _norm(t) == t
+
+
+def test_category_fns_are_idempotent_on_plain_text():
+    assert normalize_categories_zh("你好世界") == "你好世界"
+    assert normalize_categories_en("hello world") == "hello world"
+
+
+def test_frontend_spells_out_the_verdict_sentence():
+    """The inference entry path (Frontend.text_normalize drives every
+    inference_* mode) must hand the LLM the spelled-out form."""
+    from fangyan_tts_tpu.config import CosyVoiceConfig
+    from fangyan_tts_tpu.infer.frontend import Frontend
+    from fangyan_tts_tpu.tokenizer import get_qwen_tokenizer
+
+    fe = Frontend(get_qwen_tokenizer(None, True, "cosyvoice3"), CosyVoiceConfig(), None, None)
+    segs = fe.text_normalize("2024年8月17日，气温3.5℃。", split=True)
+    assert segs == ["二零二四年八月十七日，气温三点五摄氏度。"]
