@@ -199,6 +199,46 @@ def extract_speech_tokens(
     return utt2tok
 
 
+def extract_all(
+    data_dir: str | Path,
+    emb_apply: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    tok_apply: Callable[[jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]],
+    batch_size: int = 64,
+) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
+    """Stages 1+2 in ONE pass: the corpus is loaded once and each padded
+    batch is uploaded once, feeding both the campplus and S3 programs
+    (the separate CLIs each re-load and re-upload the corpus — fine for
+    flag-compat, wasteful for the fused pipeline). Writes the same
+    utt2embedding.pt / spk2embedding.pt / utt2speech_token.pt artifacts."""
+    data_dir = Path(data_dir)
+    wav_scp = read_scp(data_dir / "wav.scp")
+    utt2spk = read_scp(data_dir / "utt2spk")
+    utts = load_utts(wav_scp)
+
+    utt2emb: dict[str, np.ndarray] = {}
+    utt2tok: dict[str, np.ndarray] = {}
+    for names, pad, lens in _batched_buckets(utts, 16000, batch_size):
+        pad_d, lens_d = jnp.asarray(pad), jnp.asarray(lens)
+        feats, frame_len = _embed_features(pad_d, lens_d)
+        mel, mel_len = _token_features(pad_d, lens_d)
+        embs = np.asarray(emb_apply(feats, frame_len))
+        codes, code_len = tok_apply(mel, mel_len)
+        codes, code_len = np.asarray(codes), np.asarray(code_len)
+        for i, utt in enumerate(names):
+            utt2emb[utt] = embs[i].astype(np.float32)
+            utt2tok[utt] = codes[i, : code_len[i]].astype(np.int32)
+
+    spk_lists: dict[str, list[np.ndarray]] = defaultdict(list)
+    for utt, emb in utt2emb.items():
+        spk_lists[utt2spk.get(utt, "unk")].append(emb)
+    spk2emb = {spk: np.mean(np.stack(v), axis=0) for spk, v in spk_lists.items()}
+
+    _torch_save({k: _to_torch(v) for k, v in utt2emb.items()}, data_dir / "utt2embedding.pt")
+    _torch_save({k: _to_torch(v) for k, v in spk2emb.items()}, data_dir / "spk2embedding.pt")
+    _torch_save({k: _to_torch(v) for k, v in utt2tok.items()}, data_dir / "utt2speech_token.pt")
+    return utt2emb, utt2tok
+
+
 def _to_torch(arr: np.ndarray):
     try:
         import torch

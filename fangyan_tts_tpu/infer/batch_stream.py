@@ -108,31 +108,39 @@ class BatchedStreamGroup:
             t._batch_jit[key] = fn
         return t._batch_jit[key]
 
-    def _flow_young_batch_fn(self, consumed: int):
-        """Batched young hop: all rows share the same target prefix length
-        (lockstep sessions) — the bs=N rendition of the per-slot exact
-        full-prefix chunk program."""
+    def _flow_young_bucket_fn(self, bucket: int):
+        """Bucketed batched young hops: rows with DIFFERENT consumed-token
+        counts share one program. Each row is [prompt ++ target[:consumed]
+        ++ lookahead ++ zeros] right-padded to `bucket` target tokens, with
+        per-row true lengths and per-row emit hop indices — this is what
+        lets asynchronously-paced sessions batch their young (full-prefix)
+        hops, where lockstep-only batching degrades to singletons
+        (prepare_inference padded_streaming mode proves the conv/mask
+        equivalence). CFM noise is the shared absolute-position prefix of
+        the fixed buffer, so outputs stay byte-identical to solo streams."""
         t = self.t
-        key = ("byoung", self.n, self.fs[0].P, self.pad, consumed)
+        key = ("byoungb", self.n, self.fs[0].P, self.pad, bucket)
         if key not in t._batch_jit:
             flow, fcfg = t.flow, t.cfg.flow
-            la, ratio, P = self.la, self.fs[0].ratio, self.fs[0].P
+            ratio, P = self.fs[0].ratio, self.fs[0].P
             P_mel = int(self.pf.shape[1])
-            n_tok = P + consumed + la
             h = self.H
-            k = (consumed - self.pad) // self.hop  # hop index; emit [H*(k-1), H*k)
 
             @jax.jit
-            def fn(p, token_win, pf, pf_len, emb, noise_buf):
+            def fn(p, token_win, n_tok, pf, pf_len, emb, noise_buf, ks):
                 mu, spks, conds, mel_len = flow.apply(
-                    {"params": p}, token_win, jnp.full((token_win.shape[0],), n_tok, jnp.int32),
-                    pf, pf_len, emb, finalize=False,
+                    {"params": p}, token_win, n_tok, pf, pf_len, emb,
+                    finalize=False, padded_streaming=True,
                     method=CausalMaskedDiffWithDiT.prepare_inference,
                 )
-                l_mel = (P + consumed) * ratio
-                z = jnp.broadcast_to(noise_buf[:, :l_mel], (token_win.shape[0], l_mel, noise_buf.shape[2])).astype(mu.dtype)
+                l_mel = mu.shape[1]
+                z = jnp.broadcast_to(
+                    noise_buf[:, :l_mel], (token_win.shape[0], l_mel, noise_buf.shape[2])
+                ).astype(mu.dtype)
                 mel = cfm_solve(fcfg, p["estimator"], z, mu, spks, conds, mel_len, streaming=True)
-                return mel[:, P_mel + h * (k - 1) : P_mel + h * k]
+                starts = P_mel + (ks - 1) * h
+                idx = starts[:, None] + jnp.arange(h)[None, :]
+                return jnp.take_along_axis(mel, idx[:, :, None], axis=1)  # (B, H, 80)
 
             t._batch_jit[key] = fn
         return t._batch_jit[key]
@@ -180,7 +188,7 @@ class BatchedStreamGroup:
         Returns [(slot, np.float32 audio chunk), ...]."""
         out = []
         batch_rows = []  # (slot, tgt_start) for the batched windowed flow
-        young_groups: dict = {}  # consumed -> [slots] for batched young hops
+        young_rows = []  # (slot, consumed, k) for the bucketed young batch
         mel_hops: dict = {}
         for i in range(self.n):
             if not self._hop_ready(i):
@@ -195,24 +203,30 @@ class BatchedStreamGroup:
                 mel_hops[i] = f.step(self.tokens[i])
                 self.token_offset[i] = consumed
             else:
-                young_groups.setdefault(consumed, []).append(i)
+                young_rows.append((i, consumed, k))
 
-        for consumed, slots in young_groups.items():
-            if len(slots) == 1:  # singleton: per-slot exact path
-                i = slots[0]
-                mel_hops[i] = self.fs[i].step(self.tokens[i])
-                self.token_offset[i] = consumed
-                continue
-            fn = self._flow_young_batch_fn(consumed)
-            tok = np.zeros((self.n, self.fs[0].P + consumed + self.la), np.int32)
-            for i in slots:
-                tok[i] = np.concatenate(
-                    [self.fs[i].prompt_tokens, self.tokens[i][: consumed + self.la]]
+        if len(young_rows) == 1:  # singleton: per-slot exact path
+            i, consumed, _ = young_rows[0]
+            mel_hops[i] = self.fs[i].step(self.tokens[i])
+            self.token_offset[i] = consumed
+        elif young_rows:
+            P, la = self.fs[0].P, self.la
+            bucket = -(-max(c + la for _, c, _ in young_rows) // 32) * 32
+            fn = self._flow_young_bucket_fn(bucket)
+            tok = np.zeros((self.n, P + bucket), np.int32)
+            n_tok = np.full(self.n, la + 1, np.int32)  # inactive rows: 1 valid frame
+            ks = np.ones(self.n, np.int32)
+            for i, consumed, k in young_rows:
+                row = np.concatenate(
+                    [self.fs[i].prompt_tokens, self.tokens[i][: consumed + la]]
                 )
+                tok[i, : len(row)] = row
+                n_tok[i] = len(row)
+                ks[i] = k
             pf_len = jnp.full((self.n,), self.pf.shape[1], jnp.int32)
-            mels = fn(self.t.flow_params, jnp.asarray(tok), self.pf, pf_len, self.emb,
-                      self.fs[0]._noise_buf())
-            for i in slots:
+            mels = fn(self.t.flow_params, jnp.asarray(tok), jnp.asarray(n_tok), self.pf,
+                      pf_len, self.emb, self.fs[0]._noise_buf(), jnp.asarray(ks))
+            for i, consumed, _ in young_rows:
                 self.fs[i].hops_done += 1
                 self.token_offset[i] = consumed
                 mel_hops[i] = mels[i : i + 1]
@@ -236,13 +250,44 @@ class BatchedStreamGroup:
                 self.token_offset[i] = s + self.W
                 mel_hops[i] = mels[i : i + 1]
 
-        # vocoder: batch steady rows, per-slot young rows
+        # vocoder: batch steady rows AND young rows (young grouped by push
+        # index — the single-stream young programs are batch-agnostic, so
+        # stacked tails run through the same jitted callables)
         steady = [i for i in mel_hops if self.pushes[i] >= 3]
         young = [i for i in mel_hops if self.pushes[i] < 3]
+        young_by_k: dict = {}
         for i in young:
-            a = self._young_push(i, mel_hops[i])
-            if a is not None and len(a):
-                out.append((i, a))
+            young_by_k.setdefault(self.vs[i].k + 1, []).append(i)
+        for k, slots in sorted(young_by_k.items()):
+            if len(slots) == 1:
+                a = self._young_push(slots[0], mel_hops[slots[0]])
+                if a is not None and len(a):
+                    out.append((slots[0], a))
+                continue
+            variant = {1: "young1", 2: "young2", 3: "first"}[k]
+            v0 = self.vs[slots[0]]
+            fn = v0._push_fn(variant)
+            tails = jnp.concatenate([self.vs[i].tail for i in slots], axis=0)
+            vmels = jnp.concatenate([mel_hops[i] for i in slots], axis=0).astype(self.t.dtype)
+            carries = jnp.concatenate([self.vs[i].carry for i in slots], axis=0)
+            new_tails, audio, new_carries = fn(
+                self.t.hift_params, tails, vmels, carries,
+                jnp.asarray(0, jnp.int32), v0._noise_buf(),
+            )
+            audio_np = np.asarray(audio.astype(jnp.float32))
+            H, LA = self.H, self.LA_V
+            for j, i in enumerate(slots):
+                v = self.vs[i]
+                v.tail = new_tails[j : j + 1]
+                v.carry = new_carries[j : j + 1]
+                v.k = k
+                v.emitted = {1: H - LA, 2: 2 * H - LA, 3: 2 * H}[k]
+                self.pushes[i] = k
+                if k == 3:  # migrate into the stacked steady batch state
+                    self.tails = self.tails.at[i].set(v.tail[0].astype(self.t.dtype))
+                    self.carries = self.carries.at[i].set(v.carry[0])
+                if audio_np[j].size:
+                    out.append((i, audio_np[j]))
         if steady:
             fn = self._voc_batch_fn()
             mels = jnp.concatenate(

@@ -116,11 +116,21 @@ class CausalMaskedDiffWithDiT(nn.Module):
         prompt_feat_len: jnp.ndarray,  # (B,)
         embedding: jnp.ndarray,  # (B, 192) speaker x-vector
         finalize: bool = True,
+        padded_streaming: bool = False,
     ):
         """Token/conditioning preprocessing for inference (flow.py:358-390).
         Returns (mu (B,L,mel), spks (B,mel), conds (B,L,mel), mel_len (B,));
         the Euler solve runs in `cfm_inference` (a lax.scan that compiles the
-        DiT once, not once per timestep)."""
+        DiT once, not once per timestep).
+
+        finalize=False expects each row's last pre_lookahead_len buffer
+        positions to BE the lookahead context (exact streaming shapes).
+        padded_streaming=True instead takes right-PADDED rows of the form
+        [tokens ++ lookahead ++ zeros] with token_len covering the lookahead:
+        the full-conv outputs below token_len - la are bit-identical to the
+        context-split path (the conv's receptive field at those positions
+        never reaches the zero padding), so rows with DIFFERENT lengths can
+        share one batched program (infer/batch_stream.py young hops)."""
         c = self.cfg
         emb = embedding / jnp.maximum(jnp.linalg.norm(embedding, axis=1, keepdims=True), 1e-12)
         spks = self.spk_embed_affine_layer(emb)
@@ -128,6 +138,11 @@ class CausalMaskedDiffWithDiT(nn.Module):
         token_emb, valid = self._embed_tokens(token, token_len)
         if finalize:
             h = self.pre_lookahead_layer(token_emb)
+        elif padded_streaming:
+            h = self.pre_lookahead_layer(token_emb)
+            valid = valid & (
+                jnp.arange(token.shape[1])[None, :] < (token_len - c.pre_lookahead_len)[:, None]
+            )
         else:
             h = self.pre_lookahead_layer(
                 token_emb[:, : -c.pre_lookahead_len], token_emb[:, -c.pre_lookahead_len :]

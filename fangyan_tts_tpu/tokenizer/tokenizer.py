@@ -32,11 +32,18 @@ _PARALINGUISTIC = [
     "[hissing]", "[sigh]", "[vocalized-noise]", "[lipsmack]", "[mn]",
 ]
 
-_ARPABET = [
-    "AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER", "EY", "IH", "IY", "OW", "OY", "UH", "UW",
-]
-_ARPABET_TOKENS = [f"[{p}{s}]" for p in _ARPABET for s in ("", "0", "1", "2")] + [
-    f"[{c}]" for c in ["B", "CH", "D", "DH", "F", "G", "HH", "JH", "K", "L", "M", "N", "NG", "P", "R", "S", "SH", "T", "TH", "V", "W", "Y", "Z", "ZH"]
+# alphabetical phoneme order with vowels carrying 0/1/2 stress variants —
+# must match the reference list token-for-token (tokenizer.py:288-294):
+# HF assigns special-token ids sequentially in list order, so a different
+# ordering silently shifts every phoneme token id
+_ARPA_VOWELS = set("AA AE AH AO AW AY EH ER EY IH IY OW OY UH UW".split())
+_ARPA_ORDER = (
+    "AA AE AH AO AW AY B CH D DH EH ER EY F G HH IH IY JH K L M N NG "
+    "OW OY P R S SH T TH UH UW V W Y Z ZH"
+).split()
+_ARPABET_TOKENS = [
+    f"[{p}{s}]" for p in _ARPA_ORDER
+    for s in (("", "0", "1", "2") if p in _ARPA_VOWELS else ("",))
 ]
 
 # pinyin initials/finals with tone-marked vowels (tokenizer.py:286-305)
@@ -96,6 +103,14 @@ class ByteFallbackTokenizer:
     """
 
     def __init__(self, skip_special_tokens: bool = True, version: str = "cosyvoice3"):
+        import warnings
+
+        warnings.warn(
+            "ByteFallbackTokenizer produces a DIFFERENT id space than the Qwen "
+            "tokenizer — fine for tests/benchmarks, but NOT id-compatible with "
+            "real CosyVoice2/3 checkpoints (provide the HF tokenizer assets)",
+            stacklevel=2,
+        )
         spec = CV3_SPECIAL_TOKENS if version == "cosyvoice3" else CV2_SPECIAL_TOKENS
         specials = [spec["eos_token"]] + spec["additional_special_tokens"]
         self.special_to_id = {s: 256 + i for i, s in enumerate(dict.fromkeys(specials))}

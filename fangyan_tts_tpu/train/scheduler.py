@@ -95,6 +95,20 @@ def square_root_annealing(lr: float, warmup_steps: int = 0, min_lr: float = 0.0,
     return sched
 
 
+def square_annealing(lr: float, warmup_steps: int = 0, min_lr: float = 1e-5, max_steps: int = 1000000, **_) -> optax.Schedule:
+    """SquareAnnealing (scheduler.py:444-467): linear warmup, then
+    lr * ((max - s) / max)^2 over the post-warmup span, floored at min_lr."""
+
+    def sched(step):
+        s = step.astype(jnp.float32)
+        warm = jnp.where(warmup_steps > 0, jnp.minimum(s / max(warmup_steps, 1), 1.0), 1.0)
+        span = float(max(max_steps - warmup_steps, 1))
+        frac = jnp.clip((span - (s - warmup_steps)) / span, 0.0, 1.0)
+        return jnp.maximum(lr * warm * frac**2, min_lr)
+
+    return sched
+
+
 SCHEDULERS = {
     "warmuplr": warmup_lr,
     "constantlr": constant_lr,
@@ -104,6 +118,7 @@ SCHEDULERS = {
     "cosine": cosine_annealing,
     "sqrt_constant": square_root_constant_lr,
     "sqrt_annealing": square_root_annealing,
+    "square_annealing": square_annealing,
 }
 
 

@@ -86,6 +86,7 @@ def model(model_dir, monkeypatch_module=None):
         api_mod.make_campplus_fn, api_mod.make_s3_fn = orig
 
 
+@pytest.mark.slow
 def test_zero_shot_through_full_api(model, model_dir):
     outs = list(model.inference_zero_shot("今天天气不错。", "提示文本。", str(model_dir / "prompt.wav")))
     assert len(outs) >= 1
@@ -93,6 +94,7 @@ def test_zero_shot_through_full_api(model, model_dir):
     assert len(audio) > 480 and np.isfinite(audio).all()
 
 
+@pytest.mark.slow
 def test_instruct2_and_speaker_cache(model, model_dir):
     outs = list(model.inference_instruct2("你好。", "请用湖南话说。<|endofprompt|>", str(model_dir / "prompt.wav")))
     assert len(outs) >= 1 and len(outs[0]["tts_speech"]) > 0
@@ -110,6 +112,7 @@ def test_vc_through_api(model, model_dir):
     assert len(outs[0]["tts_speech"]) > 0
 
 
+@pytest.mark.slow
 def test_quant_int8_through_full_api(model_dir):
     """quant_int8=True loads the same checkpoints, converts the LLM to
     weight-only int8 (ops/quant.py) and synthesizes through every mode."""
@@ -125,6 +128,7 @@ def test_quant_int8_through_full_api(model_dir):
     assert sum(len(o["tts_speech"]) for o in outs) > 0
 
 
+@pytest.mark.slow
 def test_bistream_generator_text_through_api(model, model_dir):
     """tts_text as a GENERATOR rides the bistream path end-to-end through
     the public API (reference cosyvoice.py Generator pass-through +

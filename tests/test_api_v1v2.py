@@ -86,6 +86,7 @@ def v2_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_v1_sft_through_api(v1_dir):
     from fangyan_tts_tpu.api import AutoModel, CosyVoice
 
@@ -98,6 +99,7 @@ def test_v1_sft_through_api(v1_dir):
         assert o["tts_speech"].ndim == 1 and np.isfinite(o["tts_speech"]).all()
 
 
+@pytest.mark.slow
 def test_v1_instruct_through_api(v1_dir):
     from fangyan_tts_tpu.api import CosyVoice
 
@@ -108,6 +110,7 @@ def test_v1_instruct_through_api(v1_dir):
         list(m.inference_instruct2("你好。", "x<|endofprompt|>", None))
 
 
+@pytest.mark.slow
 def test_v2_sft_through_api(v2_dir):
     from fangyan_tts_tpu.api import AutoModel, CosyVoice2
 
@@ -121,6 +124,7 @@ def test_v2_sft_through_api(v2_dir):
         assert o["tts_speech"].ndim == 1 and np.isfinite(o["tts_speech"]).all()
 
 
+@pytest.mark.slow
 def test_v2_sft_streaming_through_api(v2_dir):
     from fangyan_tts_tpu.api import CosyVoice2
 

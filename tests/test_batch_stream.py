@@ -31,6 +31,7 @@ def tiny_tts():
     return tts
 
 
+@pytest.mark.slow
 def test_batched_equals_sequential(tiny_tts):
     from fangyan_tts_tpu.infer.batch_stream import BatchedStreamGroup
     from fangyan_tts_tpu.infer.stream import Token2WavSession
@@ -109,6 +110,7 @@ def test_stream_scheduler_sessions(tiny_tts):
         assert np.abs(got - want).max() < 2e-3, f"trial {trial}: {np.abs(got - want).max()}"
 
 
+@pytest.mark.slow
 def test_scheduler_through_tts_api(tiny_tts):
     """model.tts(stream=True) with batched streaming enabled must match the
     plain session path (vc tokens for determinism), including under
@@ -147,6 +149,7 @@ def test_scheduler_through_tts_api(tiny_tts):
         tiny_tts.stream_scheduler = None
 
 
+@pytest.mark.slow
 def test_scheduler_async_clients(tiny_tts):
     """4 independently-paced client threads at jittered cadences must (a)
     each get byte-identical audio to a solo session replay and (b) actually
@@ -201,6 +204,7 @@ def test_scheduler_async_clients(tiny_tts):
     assert s["rows"] / s["steps"] > 1.5, f"async batching degenerate: {s}"
 
 
+@pytest.mark.slow
 def test_scheduler_session_churn(tiny_tts):
     """Randomized open/feed/close churn across prompt-length groups: slots
     must recycle cleanly and every session's audio must match its direct

@@ -94,6 +94,7 @@ def test_campplus_onnx_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_campplus_full_size_shapes():
     """Full-size module: 80-mel in, 192-d out, param count plausible."""
     jx = CAMPPlus()

@@ -29,6 +29,7 @@ def flow_setup():
     return cfg, flow, params
 
 
+@pytest.mark.slow
 def test_flow_chunk_consistency(flow_setup):
     """Mirror of flow.py:406-433: full-context streaming output vs
     chunk-by-chunk with pre-lookahead context."""
@@ -69,6 +70,7 @@ def hift_setup():
     return cfg, hift, params
 
 
+@pytest.mark.slow
 def test_hift_chunk_consistency(hift_setup):
     """Mirror of generator.py:729-746: chunked causal vocoding equals full
     on the already-emitted prefix."""
@@ -91,6 +93,7 @@ def test_hift_chunk_consistency(hift_setup):
         assert diff < 5e-3, f"chunk at {i}: max diff {diff}"
 
 
+@pytest.mark.slow
 def test_hift_output_length(hift_setup):
     cfg, hift, params = hift_setup
     mel = jnp.zeros((1, 40, 80))

@@ -67,6 +67,7 @@ def our_encoder(ref_encoder):
     return enc, params
 
 
+@pytest.mark.slow
 def test_forward_chunk_matches_reference(ref_encoder, our_encoder):
     """Oracle runs with an UNBOUNDED cache (num_decoding_left_chunks=-1):
     the reference's espnet-rel-pos chunk path is only well-defined there —
@@ -100,6 +101,7 @@ def test_forward_chunk_matches_reference(ref_encoder, our_encoder):
     np.testing.assert_allclose(ours, ref_ys, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_forward_chunk_matches_full_forward(our_encoder):
     """Full-size cache (>= sequence) == full forward with the chunk-causal
     streaming mask — validates masks, rel-pos slicing and cache rolling."""

@@ -45,6 +45,7 @@ def test_inprocess_disaggregated_stream(tiny_tts):
     assert len(audio) % 480 == 0
 
 
+@pytest.mark.slow
 def test_remote_token2wav_stream(tiny_tts):
     """Two-process split exercised over real HTTP on localhost: the 'LLM
     side' pushes token chunks, the server side runs the windowed

@@ -10,8 +10,10 @@ from fangyan_tts_tpu.models.discriminators import MultipleDiscriminator
 from fangyan_tts_tpu.models.hift import CausalHiFT
 from fangyan_tts_tpu.train.gan import init_gan_state, make_hifigan_steps
 from fangyan_tts_tpu.utils.init import fast_init
+import pytest
 
 
+@pytest.mark.slow
 def test_gan_steps_run():
     cfg = HiFTConfig(base_channels=32, f0_cond_channels=16)
     hift = CausalHiFT(cfg)
@@ -46,6 +48,7 @@ def test_gan_steps_run():
     assert max(jax.tree.leaves(same)) == 0
 
 
+@pytest.mark.slow
 def test_gan_sharded_step_matches_single():
     """dp=8 GAN steps must produce the same losses as the single-device run
     (train_utils.py:94-141 DDP contract applied to the vocoder)."""

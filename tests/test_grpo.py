@@ -10,6 +10,7 @@ from fangyan_tts_tpu.train import trainer
 from fangyan_tts_tpu.train.grpo import GRPOConfig, cer, grpo_advantages, make_grpo_step, sequence_logps
 from fangyan_tts_tpu.train.scheduler import build_optimizer
 from fangyan_tts_tpu.utils.init import fast_init
+import pytest
 
 CFG = LLMConfig(llm_input_size=64, llm_output_size=64, speech_token_size=50, extra_tokens=8,
                 qwen=QwenConfig(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
@@ -30,6 +31,7 @@ def test_grpo_advantages_group_relative():
     np.testing.assert_allclose(a[4:], 0.0, atol=1e-5)  # zero-variance group
 
 
+@pytest.mark.slow
 def test_grpo_step_runs_and_updates(rng):
     model = CosyVoice3LM(CFG)
     n, tp, tr = 4, 16, 8  # 2 prompts x group 2
@@ -60,6 +62,7 @@ def test_grpo_step_runs_and_updates(rng):
     assert moved > 0
 
 
+@pytest.mark.slow
 def test_full_grpo_iteration_with_synthesis(rng):
     """One complete rollout->synthesize->reward->update iteration on a tiny
     CosyVoice3 stack with a stubbed reward (examples/grpo/cosyvoice2/run.sh

@@ -39,6 +39,7 @@ def test_load_dataset_kaldi(tmp_path):
     assert rows == [{"id": "u1", "text": "你好", "prompt_wav": "/x/u1.wav", "prompt_text": ""}]
 
 
+@pytest.mark.slow
 def test_streaming_session_with_schedule():
     """The session consumes any arrival schedule on its fixed hop grid."""
     from fangyan_tts_tpu.config import (

@@ -15,6 +15,7 @@ from fangyan_tts_tpu.models.llm_v1_decode import (
     v1_generate_cached,
 )
 from fangyan_tts_tpu.utils.init import fast_init
+import pytest
 
 LLM = TransformerLM(
     text_token_size=40, speech_token_size=50, text_encoder_input_size=16,
@@ -57,6 +58,7 @@ def test_cached_prefill_matches_recompute(rng):
     np.testing.assert_allclose(np.asarray(st.logits), ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_cached_steps_match_recompute(rng):
     """Force a fixed token sequence through the cache and compare every
     step's logits against the full-prefix recompute."""

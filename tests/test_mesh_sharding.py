@@ -54,6 +54,7 @@ def _flow_batch(rng, b=8, lt=8):
     }
 
 
+@pytest.mark.slow
 def test_llm_sharded_step_matches_single(rng):
     model = CosyVoice3LM(LLM_CFG)
     batch = _llm_batch(rng)
@@ -76,6 +77,7 @@ def test_llm_sharded_step_matches_single(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_flow_sharded_step_matches_single(rng):
     dit = DiTConfig(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2, static_chunk_size=4)
     cfg = FlowConfig(input_size=80, vocab_size=50, dit=dit, n_timesteps=2)
@@ -206,6 +208,7 @@ def test_batch_pspec_uses_data_axes():
     assert x.sharding.spec == P(("dp", "fsdp"))
 
 
+@pytest.mark.slow
 def test_tp_sharded_flow_stream_matches_single():
     """Multi-chip token2wav: a TP=2-sharded flow (shard_token2wav) must
     produce the same windowed streaming hop mel as the single-device run —

@@ -9,8 +9,10 @@ from fangyan_tts_tpu.models.conformer import ConformerEncoder, UpsampleConformer
 from fangyan_tts_tpu.models.s3tokenizer import S3TokenizerV3
 from fangyan_tts_tpu.tokenizer import ByteFallbackTokenizer, CV3_SPECIAL_TOKENS
 from fangyan_tts_tpu.utils.init import fast_init
+import pytest
 
 
+@pytest.mark.slow
 def test_campplus_embedding_shape(rng):
     model = CAMPPlus(embedding_size=32, init_channels=16, growth=4, bn_size=4, block_layers=(2, 2, 2))
     fbank = jnp.asarray(rng.standard_normal((2, 98, 80)).astype(np.float32))

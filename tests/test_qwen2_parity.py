@@ -80,6 +80,7 @@ def test_full_forward_matches_hf(hf_model, jax_setup):
         np.testing.assert_allclose(got[i, :l], ref[i, :l], atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_kv_cache_decode_matches_full(jax_setup):
     cfg, model, variables = jax_setup
     b, t_prompt, t_total, max_len = 1, 5, 9, 16

@@ -130,6 +130,7 @@ def test_grpc_server_roundtrip(tiny_model):
         server.stop(None)
 
 
+@pytest.mark.slow
 def test_http_concurrent_batched_streams(tiny_model):
     """Two concurrent streaming requests over real sockets with batched
     streaming enabled: the scheduler batches their hops; both clients get

@@ -37,6 +37,7 @@ class _FakeTTS:
         self.dtype = jnp.float32
 
 
+@pytest.mark.slow
 def test_voc_stream_sample_exact():
     """Windowed vocoding with NSF phase carry == full re-vocode, sample for
     sample, across young -> windowed transition and finalize."""
@@ -84,6 +85,7 @@ def test_voc_stream_sample_exact():
     assert np.abs(got - expected).max() < 1e-3
 
 
+@pytest.mark.slow
 def test_voc_stream_programs_are_bounded():
     """A second, longer session must reuse the same jitted programs."""
     from fangyan_tts_tpu.infer.stream import F_CAP, VocStream
@@ -177,6 +179,7 @@ def test_flow_window_not_cached_across_voices():
     assert np.abs(a - b).max() > 1e-4, "second voice reused the first session's conditioning"
 
 
+@pytest.mark.slow
 def test_streaming_e2e_long_utterance():
     """16-hop vc-path stream through the full windowed pipeline: correct
     total duration, finite audio, bounded program set."""

@@ -13,6 +13,7 @@ from fangyan_tts_tpu.train import dpo, trainer
 from fangyan_tts_tpu.train.checkpoint import average_checkpoints, load_params, save_params, select_val_best
 from fangyan_tts_tpu.train.scheduler import build_optimizer, warmup_lr
 from fangyan_tts_tpu.utils.init import fast_init
+import pytest
 
 QWEN = QwenConfig(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
                   num_attention_heads=4, num_key_value_heads=2, head_dim=16, vocab_size=300)
@@ -49,6 +50,18 @@ def test_warmup_schedule_shape():
     np.testing.assert_allclose(float(s(jnp.asarray(100))), 1e-3, rtol=1e-5)
 
 
+def test_square_annealing_schedule():
+    """Matches scheduler.py:384-388 _square_annealing: lr*((max-s)/max)^2."""
+    from fangyan_tts_tpu.train.scheduler import square_annealing
+
+    s = square_annealing(1e-3, warmup_steps=10, max_steps=1010, min_lr=1e-6)
+    np.testing.assert_allclose(float(s(jnp.asarray(10))), 1e-3, rtol=1e-5)
+    np.testing.assert_allclose(  # halfway: (0.5)^2 = 0.25x
+        float(s(jnp.asarray(510))), 0.25e-3, rtol=1e-4)
+    np.testing.assert_allclose(float(s(jnp.asarray(2000))), 1e-6, rtol=1e-5)
+    assert float(s(jnp.asarray(5))) < 1e-3  # warmup ramp
+
+
 def test_dpo_step_runs(rng):
     model = CosyVoice3LM(LLM_CFG)
     chosen = [build_plan(LLM_CFG, [1, 2, 3], rng.integers(0, 50, (12,)).tolist()) for _ in range(2)]
@@ -78,6 +91,7 @@ def test_checkpoint_roundtrip_and_averaging(tmp_path, rng):
     np.testing.assert_allclose(avg["a"]["w"], np.full((4, 4), 2.0))
 
 
+@pytest.mark.slow
 def test_flow_train_step(rng):
     cfg = FlowConfig(vocab_size=50, dit=DiTConfig(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2), n_timesteps=2)
     flow = CausalMaskedDiffWithDiT(cfg)

@@ -54,6 +54,7 @@ def v2():
     return CosyVoice2TTS.random_init(llm_cfg, flow, hift_cfg)
 
 
+@pytest.mark.slow
 def test_v1_offline_vc_tokens(v1):
     rng = np.random.default_rng(0)
     src = rng.integers(0, 50, 130).astype(np.int32)
@@ -70,6 +71,7 @@ def test_v1_offline_vc_tokens(v1):
     assert np.isfinite(audio).all()
 
 
+@pytest.mark.slow
 def test_v1_streaming_chunks_and_caches(v1):
     rng = np.random.default_rng(1)
     src = rng.integers(0, 50, 140).astype(np.int32)
@@ -86,6 +88,7 @@ def test_v1_streaming_chunks_and_caches(v1):
         assert np.isfinite(o["tts_speech"]).all()
 
 
+@pytest.mark.slow
 def test_v1_lm_offline_synthesis(v1):
     rng = np.random.default_rng(2)
     text = rng.integers(0, 40, 5).astype(np.int32)
@@ -136,6 +139,7 @@ def test_v2_lm_offline_synthesis(v2):
     assert audio.ndim == 1 and np.isfinite(audio).all()
 
 
+@pytest.mark.slow
 def test_v2_bistream_generator_text(v2):
     """Generator text through the v2 stack: the shared 5:15 bistream
     protocol with v2 special ids, streamed end-to-end to audio."""

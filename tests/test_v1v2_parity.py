@@ -139,6 +139,7 @@ def _jx_v1_flow(ref):
     return jx, params
 
 
+@pytest.mark.slow
 def test_v1_flow_inference_two_chunk_cache_parity(ref_v1_flow, rng, monkeypatch):
     """Two streaming chunks: the second call must splice the cached z/mu for
     the prompt + 34-frame overlap, matching the reference flow cache."""
