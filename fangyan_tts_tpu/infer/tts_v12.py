@@ -44,7 +44,7 @@ from ..models.llm import Qwen2LMV2, generate_speech_tokens
 from ..models.llm_v1 import TransformerLM
 from ..models.llm_v1_decode import v1_generate_cached
 from ..utils.common import fade_in_out
-from ..utils.init import fast_init
+from ..utils.init import device_init
 from .tts import _cast_params, _interp_mel, _round_up
 
 # v1 (22.05 kHz) HiFT layout, conf/cosyvoice.yaml:115-135
@@ -148,13 +148,13 @@ class CosyVoice2TTS(_HiFTVocoderMixin):
     def random_init(cls, llm_cfg: LLMConfig, flow: CausalMaskedDiffWithXvec, hift_cfg: HiFTConfig, dtype=jnp.float32):
         llm = Qwen2LMV2(llm_cfg, dtype=dtype)
         t = jnp.zeros((1, 8), jnp.int32)
-        llm_p = fast_init(llm, 0, t, t, jnp.asarray([8]), t)
-        flow_p = fast_init(
+        llm_p = device_init(llm, 0, t, t, jnp.asarray([8]), t)
+        flow_p = device_init(
             flow, 1, t, jnp.asarray([8]), jnp.zeros((1, 16, 80)), jnp.asarray([16]),
             jnp.zeros((1, 192)), jax.random.PRNGKey(0),
         )
         hift = HiFT(hift_cfg)
-        hift_p = fast_init(hift, 2, jnp.zeros((1, 16, 80)))
+        hift_p = device_init(hift, 2, jnp.zeros((1, 16, 80)))
         return cls(llm_cfg, llm_p, flow, flow_p, hift_cfg, hift_p, dtype=dtype)
 
     def next_key(self) -> jax.Array:
@@ -416,12 +416,12 @@ class CosyVoiceV1TTS(_HiFTVocoderMixin):
     def random_init(cls, llm: TransformerLM, flow: MaskedDiffWithXvec, hift_cfg: HiFTConfig | None = None, dtype=jnp.float32):
         hift_cfg = hift_cfg or V1_HIFT
         t = jnp.zeros((1, 8), jnp.int32)
-        llm_p = fast_init(llm, 0, t, jnp.asarray([8]), t, jnp.asarray([8]), jnp.zeros((1, 192)))
-        flow_p = fast_init(
+        llm_p = device_init(llm, 0, t, jnp.asarray([8]), t, jnp.asarray([8]), jnp.zeros((1, 192)))
+        flow_p = device_init(
             flow, 1, t, jnp.asarray([8]), jnp.zeros((1, 16, 80)), jnp.asarray([16]),
             jnp.zeros((1, 192)), jax.random.PRNGKey(0),
         )
-        hift_p = fast_init(HiFT(hift_cfg), 2, jnp.zeros((1, 16, 80)))
+        hift_p = device_init(HiFT(hift_cfg), 2, jnp.zeros((1, 16, 80)))
         return cls(llm, llm_p, flow, flow_p, hift_cfg, hift_p, dtype=dtype)
 
     def next_key(self) -> jax.Array:

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import QwenConfig
-from ..ops.quant import int8_dot
+from ..ops.quant import int4_dot, int8_dot
 
 
 class QDense(nn.Module):
@@ -41,11 +41,16 @@ class QDense(nn.Module):
     features: int
     use_bias: bool = False
     quant: bool = False
+    quant4: bool = False  # nibble-packed int4 kernel (ops/quant.py int4_dot)
 
     @nn.compact
     def __call__(self, x):
         d_in = x.shape[-1]
-        if self.quant:
+        if self.quant4:
+            kq = self.param("kernel_q4", nn.initializers.zeros_init(), (d_in // 2, self.features), jnp.int8)
+            scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+            y = int4_dot(x, kq, scale)
+        elif self.quant:
             kq = self.param("kernel_q", nn.initializers.zeros_init(), (d_in, self.features), jnp.int8)
             scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
             y = int8_dot(x, kq, scale)
@@ -140,9 +145,11 @@ class Qwen2MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        gu = QDense(2 * c.intermediate_size, quant=c.quant_int8, name="gate_up_proj")(x)
+        gu = QDense(2 * c.intermediate_size, quant=c.quant_int8,
+                    quant4=c.quant_int8 and c.quant_int4_mlp, name="gate_up_proj")(x)
         gate, up = jnp.split(gu, 2, axis=-1)
-        return QDense(c.hidden_size, quant=c.quant_int8, name="down_proj")(nn.silu(gate) * up)
+        return QDense(c.hidden_size, quant=c.quant_int8,
+                      quant4=c.quant_int8 and c.quant_int4_mlp, name="down_proj")(nn.silu(gate) * up)
 
 
 class Qwen2Block(nn.Module):

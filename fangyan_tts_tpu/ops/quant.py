@@ -56,6 +56,44 @@ def int8_dot(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarra
     return (y * scale).astype(x.dtype)
 
 
+def quantize_int4_packed(w: jnp.ndarray, axis: int = -2) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel int4, nibble-packed two-per-int8.
+
+    Native jnp.int4 arrays cannot cross the jit boundary on the axon
+    backend (device_put recursion bug), so the 4-bit values are packed into
+    int8 manually along the contraction axis: packed row i holds w row 2i
+    in the LOW nibble and row 2i+1 in the HIGH nibble. `int4_dot` unpacks
+    with two arithmetic shifts that XLA fuses ahead of the dot — HBM
+    traffic is the packed bytes, half of int8.
+
+    q = round(w / s) in [-7, 7], s = max|w| / 7 per output channel. The
+    contraction dim must be even (pad upstream if not).
+    """
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int8)
+    q = jnp.moveaxis(q, axis, -2)
+    pair = q.reshape(*q.shape[:-2], q.shape[-2] // 2, 2, q.shape[-1])
+    lo, hi = pair[..., 0, :], pair[..., 1, :]
+    packed = ((hi << 4) | (lo & 0x0F)).astype(jnp.int8)
+    packed = jnp.moveaxis(packed, -2, axis)
+    return packed, jnp.squeeze(scale, axis=axis)
+
+
+def int4_dot(x: jnp.ndarray, w_packed: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """x (..., in) @ nibble-packed int4 (in//2, out), per-out-channel scale.
+
+    Unpack: low nibble = even input rows, high nibble = odd input rows
+    (sign-extension via arithmetic shifts on int8)."""
+    half, out = w_packed.shape[-2], w_packed.shape[-1]
+    lo = ((w_packed << 4) >> 4).astype(x.dtype)  # sign-extended low nibble
+    hi = (w_packed >> 4).astype(x.dtype)
+    w = jnp.stack([lo, hi], axis=-2).reshape(*w_packed.shape[:-2], 2 * half, out)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return (y * scale).astype(x.dtype)
+
+
 _QWEN_DENSE_NAMES = frozenset(
     {"qkv_proj", "o_proj", "gate_up_proj", "down_proj",
      # legacy split layout (pre-fusion checkpoints)
@@ -63,20 +101,29 @@ _QWEN_DENSE_NAMES = frozenset(
 )
 
 
-def quantize_qwen_params(llm_params: Any) -> Any:
-    """CosyVoice3LM/Qwen2Model fp params -> int8 pytree.
+_QWEN_MLP_NAMES = frozenset({"gate_up_proj", "down_proj", "gate_proj", "up_proj"})
+
+
+def quantize_qwen_params(llm_params: Any, int4_mlp: bool = False) -> Any:
+    """CosyVoice3LM/Qwen2Model fp params -> int8 (optionally int4-MLP) pytree.
 
     Rewrites every transformer-block Dense kernel (stacked (L, in, out) under
     nn.scan) to {'kernel_q' int8, 'scale' fp32}; biases, norms, embeddings
-    and the small llm_decoder head stay as-is. The result is consumed by
-    modules built with QwenConfig(quant_int8=True) (qwen2.QDense).
+    and the small llm_decoder head stay as-is. With int4_mlp, the MLP
+    kernels (~85% of decode weight bytes) become nibble-packed int4
+    {'kernel_q4', 'scale'} instead. The result is consumed by modules built
+    with QwenConfig(quant_int8=True[, quant_int4_mlp=True]) (qwen2.QDense).
     """
 
     def walk(tree: Any, name: str | None = None) -> Any:
         if isinstance(tree, dict):
             if name in _QWEN_DENSE_NAMES and "kernel" in tree:
-                q, s = quantize_int8(tree["kernel"], axis=-2)
-                out = {"kernel_q": q, "scale": s}
+                if int4_mlp and name in _QWEN_MLP_NAMES:
+                    q, s = quantize_int4_packed(tree["kernel"], axis=-2)
+                    out = {"kernel_q4": q, "scale": s}
+                else:
+                    q, s = quantize_int8(tree["kernel"], axis=-2)
+                    out = {"kernel_q": q, "scale": s}
                 if "bias" in tree:
                     out["bias"] = tree["bias"]
                 return out
