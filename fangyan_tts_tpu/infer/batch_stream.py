@@ -218,6 +218,18 @@ class BatchedStreamGroup:
                     jnp.zeros((bs, self.H, mel_c), self.t.dtype),
                     jnp.zeros((bs, v0.nh), jnp.float32),
                     jnp.asarray(0, jnp.int32), v0._noise_buf())
+        # the SOLO program set too (singleton young hops, windowed, finalize,
+        # bs=1 voc): a hop where only one slot is ready runs the per-slot
+        # exact path, whose per-consumed program would otherwise compile on
+        # first live singleton occurrence. A zero-token dummy stream over
+        # the group's own prompt state touches the whole ladder.
+        from .stream import Token2WavSession
+
+        s = Token2WavSession(self.t, self.fs[0].prompt_tokens,
+                             np.asarray(self.pf[0], np.float32),
+                             np.asarray(self.emb[0], np.float32))
+        s.push(np.zeros(self.W + 3 * self.hop, np.int32))
+        s.finish()
 
     # ---- session API ------------------------------------------------------
 
@@ -417,7 +429,7 @@ class StreamScheduler:
     unchanged (per-row absolute noise offsets; tests/test_batch_stream.py).
     """
 
-    def __init__(self, tts, width: int = 4, window_s: float = 0.015, prewarm: bool = True):
+    def __init__(self, tts, width: int = 4, window_s: float = 0.025, prewarm: bool = True):
         import threading
 
         self.t = tts

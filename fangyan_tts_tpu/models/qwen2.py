@@ -49,7 +49,15 @@ class QDense(nn.Module):
         if self.quant4:
             kq = self.param("kernel_q4", nn.initializers.zeros_init(), (d_in // 2, self.features), jnp.int8)
             scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
-            y = int4_dot(x, kq, scale)
+            if jax.default_backend() == "tpu":
+                # fused pallas dequant-dot: XLA materializes the unpack
+                # (measured 7x slower than int8); the kernel streams packed
+                # bytes (ops/int4_matmul.py)
+                from ..ops.int4_matmul import int4_matmul
+
+                y = int4_matmul(x, kq, scale)
+            else:
+                y = int4_dot(x, kq, scale)
         elif self.quant:
             kq = self.param("kernel_q", nn.initializers.zeros_init(), (d_in, self.features), jnp.int8)
             scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
