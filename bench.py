@@ -192,17 +192,20 @@ def bench_data_prep(rng) -> None:
 
 
 def bench_async_streaming(tts, rng) -> None:
-    """4 asynchronous client threads -> StreamScheduler dynamic batching.
-    Each thread runs its OWN incremental LLM decode (deterministic 200
-    tokens via min=max ratio) and feeds hops as they arrive — the
-    reference's async-client Triton c=4 configuration (README.md:95-101)."""
+    """4 asynchronous client threads -> LLMScheduler continuous batching
+    (shared decode chunks) + StreamScheduler dynamic batching (shared
+    token2wav hops). Deterministic 200 tokens each via min=max ratio —
+    the reference's async-client Triton c=4 configuration with TRT-LLM
+    inflight batching (README.md:95-124)."""
     import threading
 
     from fangyan_tts_tpu.infer.batch_stream import StreamScheduler
+    from fangyan_tts_tpu.infer.llm_batch import LLMScheduler
 
     n_clients = 4
     text_len, ratio = 10, 20.0  # 200 tokens = 8 s audio each
     sched = StreamScheduler(tts, width=n_clients)
+    lsched = LLMScheduler(tts, width=n_clients)
     texts = [rng.integers(0, 50000, (text_len,)).astype(np.int32) for _ in range(n_clients)]
     embs = [rng.standard_normal(192).astype(np.float32) for _ in range(n_clients)]
     audio_out = [0] * n_clients
@@ -211,9 +214,9 @@ def bench_async_streaming(tts, rng) -> None:
     def client(i):
         try:
             h = sched.open(np.zeros(0, np.int32), np.zeros((0, 80), np.float32), embs[i])
+            lh = lsched.open(texts[i], min_token_text_ratio=ratio, max_token_text_ratio=ratio)
             chunks = []
-            for arr in tts._stream_tokens(texts[i], np.zeros(0, np.int32), np.zeros(0, np.int32),
-                                          min_token_text_ratio=ratio, max_token_text_ratio=ratio):
+            for arr in lsched.stream(lh):
                 chunks += sched.feed(h, arr)
             chunks.append(sched.close(h))
             audio_out[i] = sum(len(c) for c in chunks)
@@ -238,9 +241,11 @@ def bench_async_streaming(tts, rng) -> None:
     audio_s = sum(audio_out) / tts.cfg.sample_rate
     rtf = wall / audio_s
     s = sched.stats
+    ls = lsched.stats
     log(
         f"async streaming c=4: {wall:.2f}s wall for {audio_s:.1f}s audio -> aggregate RTF "
-        f"{rtf:.4f} (batching rows/steps {s['rows']}/{s['steps']} = {s['rows'] / max(s['steps'], 1):.2f})"
+        f"{rtf:.4f} (token2wav batching {s['rows']}/{s['steps']} = {s['rows'] / max(s['steps'], 1):.2f}, "
+        f"llm batching {ls['rows']}/{ls['steps']} = {ls['rows'] / max(ls['steps'], 1):.2f})"
     )
     emit("streaming_async_c4_rtf", round(rtf, 4), "rtf", round(0.0733 / rtf, 3))
 

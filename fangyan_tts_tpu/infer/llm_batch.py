@@ -1,0 +1,234 @@
+"""Continuous batching for the streaming LLM decode (inflight batching).
+
+The reference's production serving batches concurrent request decodes via
+TRT-LLM inflight batching inside Triton (CosyVoice/runtime/triton_trtllm/
+README.md:95-124). TPU-native equivalent: sessions with the same
+(tp, cache_len) bucket share ONE ContState (models/llm.py) advanced by a
+shared `decode_chunk_cont` program; each row has its own depth, PRNG key
+and cache write slots, so sessions join/leave at chunk boundaries and a
+row's token stream is byte-identical to its solo decode
+(tests/test_llm_cont_batch.py).
+
+Leader/follower driving (same pattern as batch_stream.StreamScheduler): the
+first session that needs tokens runs the shared chunk outside the group
+lock and distributes every row's output; other sessions' generators just
+drain their buffers. Paired with StreamScheduler this batches BOTH serving
+stages — LLM decode and token2wav — across asynchronous clients.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.lm_plan import build_prompt_plan, pad_plans_left
+from ..models.llm import cont_empty, cont_insert, decode_chunk_cont, decode_prefill
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+class _Group:
+    """Width-N continuous batch for one (tp, cache_len) bucket."""
+
+    def __init__(self, sched, tp: int, cache_len: int):
+        import threading
+
+        self.sched = sched
+        self.tp = tp
+        self.cache_len = cache_len
+        self.state = None  # ContState, built from the first prefill
+        self.free = list(range(sched.width))
+        self.owners: dict[int, int] = {}  # slot -> handle
+        self.buffers: dict[int, list] = {}  # handle -> [np.int32 arrays]
+        self.finished: set[int] = set()  # handles whose row hit done
+        self.cond = threading.Condition()
+        self.stepping = False
+
+
+class LLMScheduler:
+    """Serving front: h = open(text, ...); for arr in stream(h): ...
+
+    Sessions are grouped by (tp, cache_len) bucket; slots recycle when a
+    stream is drained (or close()d early). Thread-safe; intended to sit in
+    front of StreamScheduler in the serving runtimes."""
+
+    def __init__(self, tts, width: int = 4, chunk_steps: int = 32, prewarm: bool = True):
+        import threading
+
+        self.t = tts
+        self.width = width
+        self.chunk_steps = chunk_steps
+        self.prewarm = prewarm
+        self.groups: dict[tuple, _Group] = {}
+        self.sessions: dict[int, tuple[_Group, int]] = {}
+        self._seq = 0
+        self._lock = threading.Lock()
+        # telemetry: rows/steps = mean live sessions per shared chunk
+        self.stats = {"steps": 0, "rows": 0}
+
+    # -- session API --------------------------------------------------------
+
+    def open(
+        self,
+        text_tokens: np.ndarray,
+        prompt_text_tokens: np.ndarray = None,
+        prompt_speech_tokens: np.ndarray = None,
+        min_token_text_ratio: float = 2.0,
+        max_token_text_ratio: float = 20.0,
+        key=None,
+    ) -> int:
+        t = self.t
+        c = t.cfg.llm
+        prompt_text_tokens = np.zeros(0, np.int32) if prompt_text_tokens is None else prompt_text_tokens
+        prompt_speech_tokens = np.zeros(0, np.int32) if prompt_speech_tokens is None else prompt_speech_tokens
+        full_text = np.concatenate([prompt_text_tokens, text_tokens]).astype(np.int32)
+        plan = build_prompt_plan(c, full_text.tolist(), np.asarray(prompt_speech_tokens, np.int32).tolist())
+        tp = _round_up(len(plan.ids), 64)
+        batch = pad_plans_left([plan], length=tp)
+        min_len = int(len(text_tokens) * min_token_text_ratio)
+        max_len = int(len(text_tokens) * max_token_text_ratio)
+        cache_len = _round_up(tp + _round_up(max(max_len, 1), 256), 256)
+        key = t.next_key() if key is None else key
+
+        small = decode_prefill(
+            t.llm, t.llm_params,
+            jnp.asarray(batch["src"]), jnp.asarray(batch["ids"]), jnp.asarray(batch["lengths"]),
+            jnp.asarray([min_len], jnp.int32), jnp.asarray([max_len], jnp.int32),
+            key, cache_len=cache_len,
+        )
+
+        with self._lock:
+            g = self.groups.get((tp, cache_len))
+            if g is None:
+                g = _Group(self, tp, cache_len)
+                self.groups[(tp, cache_len)] = g
+            self._seq += 1
+            h = self._seq
+        with g.cond:
+            while g.stepping or not g.free:
+                g.cond.wait()
+            fresh = g.state is None
+            if fresh:
+                g.state = cont_empty(small, self.width)
+            slot = g.free.pop()
+            g.state = cont_insert(g.state, small, jnp.asarray(slot, jnp.int32))
+            g.owners[slot] = h
+            g.buffers[h] = []
+            if fresh and self.prewarm:
+                # compile the shared chunk program before traffic (the
+                # result of a prewarm chunk on the just-inserted row is the
+                # row's REAL first chunk — distribute it, don't discard)
+                g.stepping = True
+                try:
+                    g.cond.release()
+                    self._run_chunk(g)
+                finally:
+                    g.cond.acquire()
+                    g.stepping = False
+                    g.cond.notify_all()
+        with self._lock:
+            self.sessions[h] = (g, slot)
+        return h
+
+    def stream(self, h: int):
+        """Yield np.int32 arrays of newly-emitted speech tokens; ends when
+        the session's row finishes. Applies the cross-chunk silent-run
+        suppression exactly like CosyVoice3TTS._stream_tokens."""
+        from .tts import MAX_SILENT_RUN, SILENT_TOKENS
+
+        g, _slot = self.sessions[h]
+        silent = set(SILENT_TOKENS)
+        run = 0
+        while True:
+            lead = False
+            with g.cond:
+                while True:
+                    if g.buffers.get(h):
+                        chunks = g.buffers[h]
+                        g.buffers[h] = []
+                        break
+                    if h in g.finished:
+                        self._release(g, h)
+                        return
+                    if not g.stepping:
+                        g.stepping = True
+                        lead = True
+                        chunks = []
+                        break
+                    g.cond.wait()
+            if lead:
+                try:
+                    self._run_chunk(g)
+                finally:
+                    with g.cond:
+                        g.stepping = False
+                        g.cond.notify_all()
+                continue
+            for emitted in chunks:
+                out = []
+                for tok in emitted.tolist():
+                    if tok in silent:
+                        run += 1
+                        if run > MAX_SILENT_RUN:
+                            continue
+                    else:
+                        run = 0
+                    out.append(tok)
+                if out:
+                    yield np.asarray(out, np.int32)
+
+    def close(self, h: int) -> None:
+        """Abandon a session early (frees its slot)."""
+        g, _ = self.sessions.get(h, (None, None))
+        if g is None:
+            return
+        with g.cond:
+            while g.stepping:
+                g.cond.wait()
+            self._release(g, h)
+
+    # -- internals ----------------------------------------------------------
+
+    def _release(self, g: _Group, h: int) -> None:
+        """Free h's slot (caller holds g.cond, not stepping)."""
+        slot = None
+        for s, owner in list(g.owners.items()):
+            if owner == h:
+                slot = s
+                break
+        if slot is not None:
+            del g.owners[slot]
+            g.state = g.state._replace(done=g.state.done.at[slot].set(True))
+            g.free.append(slot)
+            g.cond.notify_all()
+        g.buffers.pop(h, None)
+        g.finished.discard(h)
+        with self._lock:
+            self.sessions.pop(h, None)
+
+    def _run_chunk(self, g: _Group) -> None:
+        """Run one shared chunk and distribute rows (device work — caller
+        must hold g.stepping but NOT g.cond)."""
+        t = self.t
+        state, toks = decode_chunk_cont(t.llm, t.llm_params, g.state, self.chunk_steps, g.tp)
+        g.state = state
+        # one host fetch: tokens + done flags
+        packed = np.asarray(
+            jnp.concatenate([toks, state.done[:, None].astype(jnp.int32)], axis=1)
+        )
+        with g.cond:
+            self.stats["steps"] += 1
+            for slot, h in list(g.owners.items()):
+                self.stats["rows"] += 1
+                row = packed[slot]
+                emitted = row[:-1]
+                emitted = emitted[emitted >= 0]
+                if len(emitted):
+                    g.buffers.setdefault(h, []).append(emitted.astype(np.int32))
+                if row[-1]:
+                    g.finished.add(h)
+            g.cond.notify_all()

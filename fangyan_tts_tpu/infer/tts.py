@@ -118,6 +118,17 @@ class CosyVoice3TTS:
         )
         self.llm = CosyVoice3LM(self.cfg.llm, dtype=self.dtype)
 
+    def enable_batched_llm(self, width: int = 4) -> None:
+        """Continuous batching for streaming LLM decodes: concurrent
+        requests' decode chunks run as ONE shared (width, ...) program with
+        per-row depth/keys/cache slots (infer/llm_batch.py LLMScheduler) —
+        the TPU-native counterpart of the reference's TRT-LLM inflight
+        batching (runtime/triton_trtllm/README.md:95-124). Pair with
+        enable_batched_streaming to batch both serving stages."""
+        from .llm_batch import LLMScheduler
+
+        self.llm_scheduler = LLMScheduler(self, width=width)
+
     def enable_batched_streaming(self, width: int = 4) -> None:
         """Batch concurrent streaming requests' flow/vocoder hops through
         shared bs=N programs (infer/batch_stream.py StreamScheduler): c=4
@@ -496,7 +507,15 @@ class CosyVoice3TTS:
 
             token_iter = _bistream_iter()
         elif source_speech_token.shape[0] == 0:
-            token_iter = self._stream_tokens(text, prompt_text, llm_prompt_speech_token)
+            lsched = getattr(self, "llm_scheduler", None)
+            if lsched is not None:
+                # continuous batching: concurrent requests' decodes share
+                # one chunk program (infer/llm_batch.py)
+                token_iter = lsched.stream(
+                    lsched.open(text, prompt_text, llm_prompt_speech_token)
+                )
+            else:
+                token_iter = self._stream_tokens(text, prompt_text, llm_prompt_speech_token)
         else:
             token_iter = iter([np.asarray(source_speech_token, np.int32)])
 

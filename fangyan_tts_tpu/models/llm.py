@@ -89,11 +89,13 @@ class CosyVoice3LM(nn.Module):
     def decode_step(self, token: jnp.ndarray, positions: jnp.ndarray, start: jnp.ndarray, end: jnp.ndarray, cache):
         """One AR step. token: (B,) speech-token ids; positions: (B, 1) rope
         positions; start: (B,) first valid cache slot; end: scalar slot bound
-        (exclusive, uniform). Returns (logits (B, V), cache)."""
+        (exclusive, uniform) or (B,) per-row bounds (continuous batching).
+        Returns (logits (B, V), cache)."""
         emb = self.speech_embedding(token)[:, None, :]
         max_len = cache["k"].shape[2]
         slot = jnp.arange(max_len, dtype=jnp.int32)[None, None, :]
-        bias = jnp.where((slot >= start[:, None, None]) & (slot < end), 0.0, -1e10).astype(jnp.float32)
+        end_b = end if jnp.ndim(end) == 0 else end[:, None, None]
+        bias = jnp.where((slot >= start[:, None, None]) & (slot < end_b), 0.0, -1e10).astype(jnp.float32)
         h, cache = self.llm(emb.astype(cache["k"].dtype), positions, bias, cache)
         return self.llm_decoder(h[:, 0]), cache
 
@@ -276,6 +278,130 @@ def decode_chunk(
         logits, cache = bound.decode_step(tok_clean, positions, st.start_slots, end, st.cache)
         new_st = st._replace(cache=cache, logits=logits, recent=recent, done=done, counts=counts, i=st.i + 1, key=key)
         return new_st, jnp.where(emit, tok_clean, -1)
+
+    state, toks = jax.lax.scan(body, state, None, length=n_steps)
+    return state, toks.T  # (B, n_steps)
+
+
+class ContState(NamedTuple):
+    """Continuous-batching decode state: N slots at INDEPENDENT depths.
+
+    The reference's production serving batches concurrent streams via
+    TRT-LLM inflight batching (runtime/triton_trtllm/README.md:95-124);
+    this is the TPU-native equivalent: one (N, ...) state advanced by a
+    shared scan program, per-row step counters `i`, per-row PRNG `keys`
+    and per-row cache write slots (qwen2.Qwen2Attention per-row index), so
+    sessions join/leave at chunk boundaries without touching each other.
+    A slot's token stream is byte-identical to a solo decode_chunk run
+    with the same key (tests/test_llm_cont_batch.py)."""
+
+    cache: Any  # {'k','v': (L, N, S, kvh, hd), 'index': (N,)}
+    logits: Any  # (N, V)
+    recent: Any  # (N, win)
+    done: Any  # (N,) — True for free/finished slots (they burn masked steps)
+    counts: Any  # (N,)
+    i: Any  # (N,) per-row decode step
+    keys: Any  # (N, key) per-row PRNG keys
+    prompt_lens: Any  # (N,)
+    start_slots: Any  # (N,)
+    min_lens: Any
+    max_lens: Any
+
+
+def cont_empty(example: DecodeState, n: int) -> ContState:
+    """All-done width-n ContState shaped after a bs=1 DecodeState (same
+    tp/cache_len bucket)."""
+    s = example
+
+    def repn(x, axis):
+        shp = list(x.shape)
+        shp[axis] = n
+        return jnp.zeros(shp, x.dtype)
+
+    key = jnp.asarray(s.key)
+    return ContState(
+        cache={"k": repn(s.cache["k"], 1), "v": repn(s.cache["v"], 1),
+               "index": jnp.zeros((n,), jnp.int32)},
+        logits=repn(s.logits, 0),
+        recent=jnp.full((n, s.recent.shape[1]), -1, jnp.int32),
+        done=jnp.ones((n,), bool),
+        counts=jnp.zeros((n,), jnp.int32),
+        i=jnp.zeros((n,), jnp.int32),
+        keys=jnp.zeros((n, *key.shape), key.dtype),
+        prompt_lens=jnp.zeros((n,), jnp.int32),
+        start_slots=jnp.zeros((n,), jnp.int32),
+        min_lens=jnp.zeros((n,), jnp.int32),
+        max_lens=jnp.zeros((n,), jnp.int32),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def cont_insert(big: ContState, small: DecodeState, slot: jnp.ndarray) -> ContState:
+    """Insert a freshly-prefilled bs=1 DecodeState into `slot`."""
+    du = jax.lax.dynamic_update_slice
+    cache = {
+        "k": du(big.cache["k"], small.cache["k"].astype(big.cache["k"].dtype), (0, slot, 0, 0, 0)),
+        "v": du(big.cache["v"], small.cache["v"].astype(big.cache["v"].dtype), (0, slot, 0, 0, 0)),
+        "index": big.cache["index"].at[slot].set(small.cache["index"]),
+    }
+    return ContState(
+        cache=cache,
+        logits=du(big.logits, small.logits.astype(big.logits.dtype), (slot, 0)),
+        recent=du(big.recent, small.recent, (slot, 0)),
+        done=big.done.at[slot].set(False),
+        counts=big.counts.at[slot].set(0),
+        i=big.i.at[slot].set(0),
+        keys=du(big.keys, jnp.asarray(small.key)[None], (slot, 0)),
+        prompt_lens=big.prompt_lens.at[slot].set(small.prompt_lens[0]),
+        start_slots=big.start_slots.at[slot].set(small.start_slots[0]),
+        min_lens=big.min_lens.at[slot].set(small.min_lens[0]),
+        max_lens=big.max_lens.at[slot].set(small.max_lens[0]),
+    )
+
+
+@partial(jax.jit, static_argnames=("model", "n_steps", "prompt_pad"), donate_argnums=(2,))
+def decode_chunk_cont(
+    model: CosyVoice3LM,
+    params: Any,
+    state: ContState,
+    n_steps: int,
+    prompt_pad: int,
+) -> tuple[ContState, jnp.ndarray]:
+    """Advance EVERY slot n_steps (done slots step masked). Same per-row
+    sampling/key semantics as decode_chunk at b=1 (split(key, 2): carry,
+    row-sample), so slot streams match solo runs byte-for-byte."""
+    c: LLMConfig = model.cfg
+    b = state.logits.shape[0]
+    bound = model.bind({"params": params})
+    stop_start = c.speech_token_size
+    vocab = c.head_size
+
+    def body(st, _):
+        logp = jax.nn.log_softmax(st.logits.astype(jnp.float32), axis=-1)
+        ignore_eos = st.i < st.min_lens
+        non_stop = jnp.arange(vocab)[None, :] < stop_start
+        allowed = non_stop | ~ignore_eos[:, None]
+        ks = jax.vmap(lambda k: jax.random.split(k, 2))(st.keys)  # (B, 2, key)
+        toks = jax.vmap(
+            lambda k_, lp, rec, al: ras_sample(
+                k_, lp, rec, rec >= 0, al,
+                top_p=c.top_p, top_k=c.top_k, win_size=c.win_size, tau_r=c.tau_r,
+            )
+        )(ks[:, 1], logp, st.recent, allowed)
+        is_stop = toks >= stop_start
+        emit = (~st.done) & (~is_stop) & (st.i < st.max_lens)
+        tok_clean = jnp.where(emit, toks, 0)
+        counts = st.counts + emit.astype(jnp.int32)
+        recent = jnp.where(
+            emit[:, None], jnp.concatenate([st.recent[:, 1:], tok_clean[:, None]], axis=1), st.recent
+        )
+        done = st.done | is_stop | (st.i + 1 >= st.max_lens)
+        positions = (st.prompt_lens + st.i)[:, None]
+        end = prompt_pad + st.i + 1  # (B,) per-row attention bound
+        logits, cache = bound.decode_step(tok_clean, positions, st.start_slots, end, st.cache)
+        new = st._replace(cache=cache, logits=logits, recent=recent, done=done,
+                          counts=counts, i=st.i + 1, keys=ks[:, 0])
+        return new, jnp.where(emit, tok_clean, -1)
 
     state, toks = jax.lax.scan(body, state, None, length=n_steps)
     return state, toks.T  # (B, n_steps)

@@ -129,8 +129,20 @@ class Qwen2Attention(nn.Module):
         if cache is not None:
             # write new k/v at cache['index'], attend over the whole buffer
             idx = cache["index"]
-            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0))
+            if idx.ndim == 0:
+                ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0))
+            else:
+                # PER-ROW write slots (continuous batching: sessions at
+                # different decode depths share one batch). t must be 1.
+                assert t == 1, "per-row cache index requires single-step decode"
+                rows = jnp.arange(b)
+                # done/idle rows may march past the buffer; clamp confines
+                # their garbage writes to the last slot (they are masked out
+                # by the attention bias and re-prefilled before reuse)
+                idx_w = jnp.minimum(idx, cache["k"].shape[1] - 1)
+                ck = cache["k"].at[rows, idx_w].set(k[:, 0].astype(cache["k"].dtype))
+                cv = cache["v"].at[rows, idx_w].set(v[:, 0].astype(cache["v"].dtype))
             cache = {"k": ck, "v": cv, "index": idx + t}
             k, v = ck.astype(x.dtype), cv.astype(x.dtype)
 
@@ -215,7 +227,9 @@ class Qwen2Model(nn.Module):
             new_cache = None
         else:
             layer_kv = {"k": cache["k"], "v": cache["v"]}
-            idx_b = jnp.broadcast_to(cache["index"], (c.num_hidden_layers,))
+            idx_b = jnp.broadcast_to(
+                cache["index"], (c.num_hidden_layers, *cache["index"].shape)
+            )
             scan = nn.scan(
                 Qwen2Block,
                 variable_axes={"params": 0},

@@ -103,6 +103,9 @@ def main(argv=None) -> None:
     model = AutoModel(model_dir=args.model_dir, quant_int8=args.quant_int8)
     if args.batched_streams and hasattr(model.model, "enable_batched_streaming"):
         model.model.enable_batched_streaming(args.batched_streams)
+        # continuous batching for the LLM stage too (infer/llm_batch.py)
+        if hasattr(model.model, "enable_batched_llm"):
+            model.model.enable_batched_llm(args.batched_streams)
     server = serve(model, args.port, args.max_conc)
     print(f"grpc serving on :{args.port}")
     server.wait_for_termination()

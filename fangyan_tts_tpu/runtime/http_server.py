@@ -168,6 +168,9 @@ def main(argv=None) -> None:
     model = AutoModel(model_dir=args.model_dir, quant_int8=args.quant_int8)
     if args.batched_streams and hasattr(model.model, "enable_batched_streaming"):
         model.model.enable_batched_streaming(args.batched_streams)
+        # continuous batching for the LLM stage too (infer/llm_batch.py)
+        if hasattr(model.model, "enable_batched_llm"):
+            model.model.enable_batched_llm(args.batched_streams)
     for plen in args.warmup_prompt_lens or []:
         if not hasattr(model.model, "warmup_streaming"):  # v1/v2 stacks
             print("warmup: not supported for this model family, skipping")
