@@ -152,6 +152,11 @@ class LLMScheduler:
                         g.buffers[h] = []
                         break
                     if h in g.finished:
+                        # an in-flight leader chunk holds (and has DONATED)
+                        # the current g.state buffers — releasing the slot
+                        # mutates g.state, so wait the step out first
+                        while g.stepping:
+                            g.cond.wait()
                         self._release(g, h)
                         return
                     if not g.stepping:
@@ -215,12 +220,12 @@ class LLMScheduler:
         must hold g.stepping but NOT g.cond)."""
         t = self.t
         state, toks = decode_chunk_cont(t.llm, t.llm_params, g.state, self.chunk_steps, g.tp)
-        g.state = state
         # one host fetch: tokens + done flags
         packed = np.asarray(
             jnp.concatenate([toks, state.done[:, None].astype(jnp.int32)], axis=1)
         )
         with g.cond:
+            g.state = state
             self.stats["steps"] += 1
             for slot, h in list(g.owners.items()):
                 self.stats["rows"] += 1
