@@ -56,13 +56,19 @@ class LLMScheduler:
     stream is drained (or close()d early). Thread-safe; intended to sit in
     front of StreamScheduler in the serving runtimes."""
 
-    def __init__(self, tts, width: int = 4, chunk_steps: int = 32, prewarm: bool = True):
+    def __init__(self, tts, width: int = 4, chunk_steps: int = 32, prewarm: bool = True,
+                 silent_tokens=None):
         import threading
 
         self.t = tts
         self.width = width
         self.chunk_steps = chunk_steps
         self.prewarm = prewarm
+        if silent_tokens is None:  # v3 FSQ silent-run suppression by default
+            from .tts import SILENT_TOKENS
+
+            silent_tokens = SILENT_TOKENS
+        self.silent = set(silent_tokens)
         self.groups: dict[tuple, _Group] = {}
         self.sessions: dict[int, tuple[_Group, int]] = {}
         self._seq = 0
@@ -82,11 +88,14 @@ class LLMScheduler:
         key=None,
     ) -> int:
         t = self.t
-        c = t.cfg.llm
         prompt_text_tokens = np.zeros(0, np.int32) if prompt_text_tokens is None else prompt_text_tokens
         prompt_speech_tokens = np.zeros(0, np.int32) if prompt_speech_tokens is None else prompt_speech_tokens
         full_text = np.concatenate([prompt_text_tokens, text_tokens]).astype(np.int32)
-        plan = build_prompt_plan(c, full_text.tolist(), np.asarray(prompt_speech_tokens, np.int32).tolist())
+        prompt_speech = np.asarray(prompt_speech_tokens, np.int32)
+        if hasattr(t, "_plan"):  # v2 family: sos/task remapped plans (tts_v12)
+            plan = t._plan(full_text, prompt_speech)
+        else:
+            plan = build_prompt_plan(t.cfg.llm, full_text.tolist(), prompt_speech.tolist())
         tp = _round_up(len(plan.ids), 64)
         batch = pad_plans_left([plan], length=tp)
         min_len = int(len(text_tokens) * min_token_text_ratio)
@@ -137,11 +146,12 @@ class LLMScheduler:
     def stream(self, h: int):
         """Yield np.int32 arrays of newly-emitted speech tokens; ends when
         the session's row finishes. Applies the cross-chunk silent-run
-        suppression exactly like CosyVoice3TTS._stream_tokens."""
-        from .tts import MAX_SILENT_RUN, SILENT_TOKENS
+        suppression exactly like CosyVoice3TTS._stream_tokens (disabled
+        for v2-family schedulers via silent_tokens=())."""
+        from .tts import MAX_SILENT_RUN
 
         g, _slot = self.sessions[h]
-        silent = set(SILENT_TOKENS)
+        silent = self.silent
         run = 0
         while True:
             lead = False

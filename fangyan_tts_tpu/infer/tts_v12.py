@@ -161,6 +161,13 @@ class CosyVoice2TTS(_HiFTVocoderMixin):
         self._key, k = jax.random.split(self._key)
         return k
 
+    def enable_batched_llm(self, width: int = 4) -> None:
+        """Continuous batching for v2 streaming decodes (infer/llm_batch.py;
+        v2 plans via self._plan, no silent-run suppression — model.py:271)."""
+        from .llm_batch import LLMScheduler
+
+        self.llm_scheduler = LLMScheduler(self, width=width, silent_tokens=())
+
     # ---- LLM -----------------------------------------------------------------
 
     def _plan(self, full_text: np.ndarray, prompt_speech: np.ndarray):
@@ -329,9 +336,15 @@ class CosyVoice2TTS(_HiFTVocoderMixin):
         elif source_speech_token.shape[0] == 0:
             # CosyVoice2Model.silent_tokens is empty (model.py:271) — no
             # silent-run suppression in v2
-            token_iter = self._stream_tokens(text, prompt_text, llm_prompt_speech_token) if stream else iter(
-                [self.generate_tokens(text, prompt_text, llm_prompt_speech_token)]
-            )
+            lsched = getattr(self, "llm_scheduler", None)
+            if stream and lsched is not None:
+                # continuous batching across concurrent requests
+                # (infer/llm_batch.py; plans via self._plan)
+                token_iter = lsched.stream(lsched.open(text, prompt_text, llm_prompt_speech_token))
+            elif stream:
+                token_iter = self._stream_tokens(text, prompt_text, llm_prompt_speech_token)
+            else:
+                token_iter = iter([self.generate_tokens(text, prompt_text, llm_prompt_speech_token)])
         else:
             token_iter = iter([np.asarray(source_speech_token, np.int32)])
 

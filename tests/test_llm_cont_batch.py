@@ -142,6 +142,59 @@ def test_threaded_sessions_match_solo(tiny_tts):
         np.testing.assert_array_equal(got[i], want[i], err_msg=f"session {i}")
 
 
+def test_v2_sessions_match_solo():
+    """LLMScheduler serves the v2 family too (plans via tts._plan, no
+    silent-run suppression): batched streams == v2 solo _stream_tokens."""
+    from dataclasses import replace
+
+    from fangyan_tts_tpu.config import HiFTConfig, QwenConfig
+    from fangyan_tts_tpu.infer.tts_v12 import CosyVoice2TTS, v2_llm_config
+    from fangyan_tts_tpu.models.flow_xvec import CausalMaskedDiffWithXvec
+
+    llm_cfg = replace(
+        v2_llm_config(QwenConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                                 num_attention_heads=2, num_key_value_heads=1, head_dim=16,
+                                 vocab_size=120)),
+        speech_token_size=50, llm_input_size=32, llm_output_size=32)
+    flow = CausalMaskedDiffWithXvec(
+        vocab_size=50, input_size=32, decoder_channels=(16,), num_mid_blocks=1,
+        n_blocks=1, num_heads=2, attention_head_dim=8, enc_heads=2, enc_ffn=24,
+        enc_blocks=1, enc_up_blocks=1, n_timesteps=2,
+    )
+    v2 = CosyVoice2TTS.random_init(llm_cfg, flow, HiFTConfig(base_channels=32, f0_cond_channels=16))
+
+    rng = np.random.default_rng(2)
+    texts = [rng.integers(0, 40, (6,)).astype(np.int32) for _ in range(2)]
+
+    # solo reference with pinned keys: replay the v2 generator with the
+    # SAME key sequence by pinning next_key
+    keys = [jax.random.PRNGKey(300 + i) for i in range(2)]
+    want = []
+    for i in range(2):
+        v2._key = jax.random.PRNGKey(0)
+        v2.next_key = lambda k=keys[i]: k  # noqa: B023 - pinned per loop
+        chunks = list(v2._stream_tokens(texts[i], np.zeros(0, np.int32), np.zeros(0, np.int32)))
+        want.append(np.concatenate(chunks) if chunks else np.zeros(0, np.int32))
+    del v2.next_key  # restore the class method
+
+    from fangyan_tts_tpu.infer.llm_batch import LLMScheduler
+
+    sched = LLMScheduler(v2, width=2, silent_tokens=())
+    streams = {i: sched.stream(sched.open(
+        texts[i], min_token_text_ratio=2.0, max_token_text_ratio=20.0, key=keys[i]))
+        for i in range(2)}
+    got = {i: [] for i in range(2)}
+    while streams:
+        for i in list(streams):
+            try:
+                got[i].append(next(streams[i]))
+            except StopIteration:
+                del streams[i]
+    for i in range(2):
+        g = np.concatenate(got[i]) if got[i] else np.zeros(0, np.int32)
+        np.testing.assert_array_equal(g, want[i], err_msg=f"v2 session {i}")
+
+
 def test_tts_stream_routes_through_llm_scheduler(tiny_tts):
     """tts(stream=True) with enable_batched_llm produces audio end-to-end."""
     tiny_tts.enable_batched_llm(width=2)
