@@ -153,48 +153,54 @@ class LLMScheduler:
         g, _slot = self.sessions[h]
         silent = self.silent
         run = 0
-        while True:
-            lead = False
-            with g.cond:
-                while True:
-                    if g.buffers.get(h):
-                        chunks = g.buffers[h]
-                        g.buffers[h] = []
-                        break
-                    if h in g.finished:
-                        # an in-flight leader chunk holds (and has DONATED)
-                        # the current g.state buffers — releasing the slot
-                        # mutates g.state, so wait the step out first
-                        while g.stepping:
-                            g.cond.wait()
-                        self._release(g, h)
-                        return
-                    if not g.stepping:
-                        g.stepping = True
-                        lead = True
-                        chunks = []
-                        break
-                    g.cond.wait()
-            if lead:
-                try:
-                    self._run_chunk(g)
-                finally:
-                    with g.cond:
-                        g.stepping = False
-                        g.cond.notify_all()
-                continue
-            for emitted in chunks:
-                out = []
-                for tok in emitted.tolist():
-                    if tok in silent:
-                        run += 1
-                        if run > MAX_SILENT_RUN:
-                            continue
-                    else:
-                        run = 0
-                    out.append(tok)
-                if out:
-                    yield np.asarray(out, np.int32)
+        try:
+            while True:
+                lead = False
+                with g.cond:
+                    while True:
+                        if g.buffers.get(h):
+                            chunks = g.buffers[h]
+                            g.buffers[h] = []
+                            break
+                        if h in g.finished:
+                            return
+                        if not g.stepping:
+                            g.stepping = True
+                            lead = True
+                            chunks = []
+                            break
+                        g.cond.wait()
+                if lead:
+                    try:
+                        self._run_chunk(g)
+                    finally:
+                        with g.cond:
+                            g.stepping = False
+                            g.cond.notify_all()
+                    continue
+                for emitted in chunks:
+                    out = []
+                    for tok in emitted.tolist():
+                        if tok in silent:
+                            run += 1
+                            if run > MAX_SILENT_RUN:
+                                continue
+                        else:
+                            run = 0
+                        out.append(tok)
+                    if out:
+                        yield np.asarray(out, np.int32)
+        finally:
+            # normal completion, client abandonment (GeneratorExit) or an
+            # error all release the slot — otherwise a dead row keeps
+            # burning chunk steps until its max_lens. An in-flight leader
+            # chunk holds (and has DONATED) the current g.state buffers, so
+            # wait the step out before mutating g.state.
+            if h in self.sessions:
+                with g.cond:
+                    while g.stepping:
+                        g.cond.wait()
+                    self._release(g, h)
 
     def close(self, h: int) -> None:
         """Abandon a session early (frees its slot)."""

@@ -142,6 +142,25 @@ def test_threaded_sessions_match_solo(tiny_tts):
         np.testing.assert_array_equal(got[i], want[i], err_msg=f"session {i}")
 
 
+def test_abandoned_stream_releases_slot(tiny_tts):
+    """Dropping a stream generator mid-session frees its slot (the dead
+    row must not keep the width occupied); a new session reuses it."""
+    rng = np.random.default_rng(5)
+    sched = LLMScheduler(tiny_tts, width=1, prewarm=True)
+    t1 = rng.integers(0, 40, (8,)).astype(np.int32)
+    s1 = sched.stream(sched.open(t1, min_token_text_ratio=6.0, max_token_text_ratio=6.0,
+                                 key=jax.random.PRNGKey(400)))
+    next(s1)  # consume one chunk, then abandon
+    s1.close()
+    assert not sched.sessions, "abandoned session not released"
+    # width=1: the next open would deadlock if the slot leaked
+    k = jax.random.PRNGKey(401)
+    want = _solo(tiny_tts, t1, k)
+    s2 = sched.stream(sched.open(t1, min_token_text_ratio=6.0, max_token_text_ratio=6.0, key=k))
+    got = np.concatenate(list(s2)) if want.size else np.zeros(0, np.int32)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_v2_sessions_match_solo():
     """LLMScheduler serves the v2 family too (plans via tts._plan, no
     silent-run suppression): batched streams == v2 solo _stream_tokens."""
