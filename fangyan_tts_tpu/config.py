@@ -42,6 +42,18 @@ class QwenConfig:
     # With quant_int8, store the MLP kernels (gate_up/down — ~85% of decode
     # weight bytes) as nibble-packed int4 instead (ops/quant.py int4_dot).
     quant_int4_mlp: bool = False
+    # Single-step decode attention on the CARRY-threaded stacked cache
+    # (ops/decode_attention.py): the full cache is scan carry updated in
+    # place instead of sliced per-layer xs/ys, which removes a ~95 us/step
+    # full-cache copy at bs1 (measured 964 -> 1042 steps/s on v5e; logits
+    # bit-identical on CPU, last-ulp bf16 diff on TPU from different
+    # fusion — see ops/decode_attention.py). Bistream/prefill (t > 1)
+    # keep the sliced path.
+    fused_decode_attention: bool = True
+    # Route the fused path through the pallas kernel instead of the XLA
+    # carry form — measured SLOWER (944 steps/s: 24 DMA-launches/step of
+    # overhead at these tiny shapes); kept for larger-cache regimes.
+    use_pallas_decode_attention: bool = False
 
 
 @dataclass(frozen=True)

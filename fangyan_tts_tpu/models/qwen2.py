@@ -172,6 +172,60 @@ class Qwen2MLP(nn.Module):
                       quant4=c.quant_int8 and c.quant_int4_mlp, name="down_proj")(nn.silu(gate) * up)
 
 
+class Qwen2AttentionFusedDecode(nn.Module):
+    """Single-token decode attention on the carry-threaded stacked cache
+    (ops/decode_attention.carry_decode_attention; in-place row update,
+    measured +8% steps/s at bs1). Parameter tree is identical to
+    Qwen2Attention (same QDense names), so the two paths share
+    checkpoints. Set use_pallas_decode_attention to route through the
+    pallas kernel instead (kept benchmarked-but-off: slower at these
+    shapes, see ops/decode_attention.py)."""
+
+    cfg: QwenConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, bias2d, ck, cv, idx_v, layer):
+        from ..ops.decode_attention import carry_decode_attention, fused_decode_attention
+
+        c = self.cfg
+        b, t, _ = x.shape
+        hd = c.head_dim
+        nq, nkv = c.num_attention_heads * hd, c.num_key_value_heads * hd
+        qkv = QDense(nq + 2 * nkv, use_bias=True, quant=c.quant_int8, name="qkv_proj")(x)
+        q, k, v = jnp.split(qkv, [nq, nq + nkv], axis=-1)
+        q = apply_rope(q.reshape(b, t, c.num_attention_heads, hd), cos, sin)
+        k = apply_rope(k.reshape(b, t, c.num_key_value_heads, hd), cos, sin)
+        v = v.reshape(b, t, c.num_key_value_heads, hd)
+        attn = fused_decode_attention if c.use_pallas_decode_attention else carry_decode_attention
+        out, ck, cv = attn(
+            q[:, 0].astype(ck.dtype), k[:, 0].astype(ck.dtype), v[:, 0].astype(ck.dtype),
+            ck, cv, idx_v, bias2d, layer,
+            interpret=jax.default_backend() != "tpu",
+        )
+        out = out.astype(x.dtype).reshape(b, 1, nq)
+        return QDense(c.hidden_size, use_bias=False, quant=c.quant_int8, name="o_proj")(out), ck, cv
+
+
+class Qwen2BlockFusedDecode(nn.Module):
+    """Qwen2Block with the stacked cache threaded as scan CARRY (updated in
+    place by the pallas kernel) instead of sliced per-layer xs/ys — the
+    xs/ys plumbing forces a full per-layer cache copy each step."""
+
+    cfg: QwenConfig
+
+    @nn.compact
+    def __call__(self, carry, _=None):
+        x, cos, sin, bias2d, ck, cv, idx_v, layer = carry
+        c = self.cfg
+        h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="input_layernorm")(x)
+        attn_out, ck, cv = Qwen2AttentionFusedDecode(c, name="self_attn")(
+            h, cos, sin, bias2d, ck, cv, idx_v, layer)
+        x = x + attn_out
+        h = RMSNorm(c.hidden_size, c.rms_norm_eps, name="post_attention_layernorm")(x)
+        x = x + Qwen2MLP(c, name="mlp")(h)
+        return (x, cos, sin, bias2d, ck, cv, idx_v, layer + 1), None
+
+
 class Qwen2Block(nn.Module):
     cfg: QwenConfig
 
@@ -225,6 +279,20 @@ class Qwen2Model(nn.Module):
             )
             carry, _ = scan(c, name="layers")(carry, None)
             new_cache = None
+        elif inputs_embeds.shape[1] == 1 and c.fused_decode_attention:
+            b = inputs_embeds.shape[0]
+            idx_v = jnp.broadcast_to(
+                jnp.asarray(cache["index"], jnp.int32).reshape(-1), (b,))
+            scan = nn.scan(
+                Qwen2BlockFusedDecode,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=c.num_hidden_layers,
+            )
+            carry = (inputs_embeds, cos, sin, attn_bias[:, 0, :],
+                     cache["k"], cache["v"], idx_v, jnp.asarray(0, jnp.int32))
+            carry, _ = scan(c, name="layers")(carry, None)
+            new_cache = {"k": carry[4], "v": carry[5], "index": cache["index"] + 1}
         else:
             layer_kv = {"k": cache["k"], "v": cache["v"]}
             idx_b = jnp.broadcast_to(
