@@ -322,10 +322,10 @@ def main() -> None:
     r = run_llm(jax.random.PRNGKey(1))
     np.asarray(r.tokens)
     llm_s = time.time() - t0
-    log(f"llm decode: {llm_s:.3f}s ({n_tokens / llm_s:.0f} tok/s incl. 192-step scan; "
-        f"{192 / llm_s:.0f} steps/s)")
+    log(f"llm decode: {llm_s:.3f}s ({n_tokens / llm_s:.0f} tok/s; early-exit "
+        f"while_loop runs exactly {n_tokens} steps of the 192 bucket)")
     emit("llm_decode_tok_per_s_int8", round(n_tokens / llm_s, 0), "tok/s",
-         round((n_tokens / llm_s) / 761.0, 3), steps_per_s=round(192 / llm_s, 0))
+         round((n_tokens / llm_s) / 761.0, 3), steps_per_s=round(n_tokens / llm_s, 0))
 
     tokens = np.asarray(r.tokens)[0, :n_tokens]
     prompt_tokens = np.zeros(0, np.int32)

@@ -407,7 +407,7 @@ def decode_chunk_cont(
     return state, toks.T  # (B, n_steps)
 
 
-@partial(jax.jit, static_argnames=("model", "max_new_tokens", "cache_len"))
+@partial(jax.jit, static_argnames=("model", "max_new_tokens", "cache_len", "early_exit"))
 def generate_speech_tokens(
     model: CosyVoice3LM,
     params: Any,
@@ -419,6 +419,7 @@ def generate_speech_tokens(
     key: jax.Array,
     max_new_tokens: int,
     cache_len: int,
+    early_exit: bool = True,
 ) -> DecodeResult:
     """Whole-batch AR decode in one device call.
 
@@ -457,14 +458,15 @@ def generate_speech_tokens(
     done0 = jnp.zeros((b,), bool)
     counts0 = jnp.zeros((b,), jnp.int32)
 
-    # Fixed-length lax.scan with done-masking instead of a data-dependent
-    # while_loop: XLA compiles the scan body once and the loop bound is
-    # static, which compiles orders of magnitude faster for deep carried
-    # KV-cache pytrees (while_loop compile time blows up with layer count on
-    # the v5e toolchain). Finished rows keep stepping on masked tokens; the
-    # waste is bounded by the max_new_tokens bucket.
-    def body(carry, i):
-        recent, done, counts, cache, logits, key = carry
+    # The step body is identical under both loop forms; XLA lowers lax.scan
+    # to a while anyway (same per-step HLO, confirmed by equal steps/s on
+    # v5e). early_exit=True threads the (B, max_new) token buffer through a
+    # lax.while_loop and stops as soon as every row is done — a full
+    # max_new_tokens bucket of masked tail steps saved per call (192-step
+    # bucket, 150-token utterance: 22% of decode time). The RNG-key chain
+    # per step is identical, so emitted tokens/counts match the fixed scan
+    # bit-for-bit (tests/test_fused_decode_path.py).
+    def step(recent, done, counts, cache, logits, key, i):
         tok, key = sample(logits, i, recent, key)
         is_stop = tok >= stop_start
         emit = (~done) & (~is_stop) & (i < max_lens)
@@ -477,9 +479,33 @@ def generate_speech_tokens(
 
         positions = (prompt_lens.astype(jnp.int32) + i)[:, None]
         logits, cache = bound.decode_step(tok_clean, positions, start_slots, tp + i + 1, cache)
-        return (recent, done, counts, cache, logits, key), jnp.where(emit, tok_clean, -1)
+        return recent, done, counts, cache, logits, key, emit, tok_clean
 
     carry = (recent0, done0, counts0, cache, first_logits, key)
+    if early_exit:
+        out0 = jnp.zeros((b, max_new_tokens), jnp.int32)
+
+        def cond_w(st):
+            _, done, _, _, _, _, i, _ = st
+            return (i < max_new_tokens) & ~done.all()
+
+        def body_w(st):
+            recent, done, counts, cache, logits, key, i, out = st
+            recent, done, counts, cache, logits, key, emit, tok_clean = step(
+                recent, done, counts, cache, logits, key, i)
+            out = jax.lax.dynamic_update_slice(
+                out, jnp.where(emit, tok_clean, 0)[:, None], (0, i))
+            return (recent, done, counts, cache, logits, key, i + 1, out)
+
+        st = jax.lax.while_loop(cond_w, body_w, (*carry, jnp.asarray(0, jnp.int32), out0))
+        return DecodeResult(tokens=st[7], num_tokens=st[2])
+
+    def body(c_, i):
+        recent, done, counts, cache, logits, key = c_
+        recent, done, counts, cache, logits, key, emit, tok_clean = step(
+            recent, done, counts, cache, logits, key, i)
+        return (recent, done, counts, cache, logits, key), jnp.where(emit, tok_clean, -1)
+
     (_, _, counts, _, _, _), toks = jax.lax.scan(body, carry, jnp.arange(max_new_tokens, dtype=jnp.int32))
     tokens = jnp.maximum(toks.T, 0)  # (B, max_new); -1 (non-emitted) -> 0, counted by `counts`
     return DecodeResult(tokens=tokens, num_tokens=counts)

@@ -79,6 +79,28 @@ def test_pallas_path_close():
         np.testing.assert_allclose(a, b_, rtol=0.05, atol=0.05)
 
 
+def test_early_exit_while_matches_fixed_scan():
+    """generate_speech_tokens(early_exit=True) threads the same per-step
+    RNG chain through a lax.while_loop that stops when every row is done;
+    emitted tokens and counts must match the fixed-length scan bit-for-bit
+    (ragged per-row max_lens included)."""
+    params = _params(CosyVoice3LM(CFG, dtype=jnp.bfloat16))
+    plans = [build_prompt_plan(CFG, list(range(6)), []),
+             build_prompt_plan(CFG, list(range(3)), [])]
+    batch = pad_plans_left(plans, length=16)
+    args = (jnp.asarray(batch["src"]), jnp.asarray(batch["ids"]),
+            jnp.asarray(batch["lengths"]),
+            jnp.asarray([4, 2], jnp.int32), jnp.asarray([12, 5], jnp.int32))
+    for cfg in (CFG, CFG_C):
+        m = CosyVoice3LM(cfg, dtype=jnp.bfloat16)
+        rs = [generate_speech_tokens(m, params, *args, key=jax.random.PRNGKey(1),
+                                     max_new_tokens=16, cache_len=64, early_exit=ee)
+              for ee in (False, True)]
+        np.testing.assert_array_equal(np.asarray(rs[0].tokens), np.asarray(rs[1].tokens))
+        np.testing.assert_array_equal(np.asarray(rs[0].num_tokens),
+                                      np.asarray(rs[1].num_tokens))
+
+
 def test_generate_speech_tokens_identical_across_paths():
     params = _params(CosyVoice3LM(CFG, dtype=jnp.bfloat16))
     plan = build_prompt_plan(CFG, list(range(6)), [])
