@@ -220,8 +220,11 @@ def bench_async_streaming(tts, rng) -> None:
 
     def client(i):
         try:
-            h = sched.open(np.zeros(0, np.int32), np.zeros((0, 80), np.float32), embs[i])
+            # llm open first: the 4 opens land inside one prefill arrival
+            # window, so the sessions share a batched prefill and stay
+            # chunk-aligned (t2w open serializes on slot reset — after)
             lh = lsched.open(texts[i], min_token_text_ratio=ratio, max_token_text_ratio=ratio)
+            h = sched.open(np.zeros(0, np.int32), np.zeros((0, 80), np.float32), embs[i])
             chunks = []
             for arr in lsched.stream(lh):
                 chunks += sched.feed(h, arr)
@@ -244,10 +247,14 @@ def bench_async_streaming(tts, rng) -> None:
         s = repr(e)
         return "remote_compile" in s or "INTERNAL" in s or "UNAVAILABLE" in s
 
-    for attempt in range(3):  # warm the streaming program set (ladder + solo)
+    warmed = 0
+    for attempt in range(4):  # warm the streaming program set (ladder + solo)
         run_once()
         if not errs:
-            break
+            warmed += 1
+            if warmed >= 2:  # 2 clean warm passes: late-compiling programs
+                break        # (bs-4 prefill, first-step compositions) settle
+            continue
         if not all(_transient(e) for e in errs):
             break
         log(f"async c4 warm attempt {attempt + 1} hit transient error, retrying: {errs[0]!r}")

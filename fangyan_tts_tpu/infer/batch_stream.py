@@ -429,7 +429,7 @@ class StreamScheduler:
     unchanged (per-row absolute noise offsets; tests/test_batch_stream.py).
     """
 
-    def __init__(self, tts, width: int = 4, window_s: float = 0.015, prewarm: bool = True):
+    def __init__(self, tts, width: int = 4, window_s: float = 0.03, prewarm: bool = True):
         import threading
 
         self.t = tts

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.lm_plan import build_prompt_plan, pad_plans_left
-from ..models.llm import cont_empty, cont_insert, decode_chunk_cont, decode_prefill
+from ..models.llm import cont_empty, cont_insert_rows, decode_chunk_cont, decode_prefill
 
 
 def _round_up(n: int, m: int) -> int:
@@ -47,6 +47,8 @@ class _Group:
         self.finished: set[int] = set()  # handles whose row hit done
         self.cond = threading.Condition()
         self.stepping = False
+        self.pending: list[dict] = []  # open() requests awaiting a batched prefill
+        self.collecting = False  # a prefill leader is inside its arrival window
 
 
 class LLMScheduler:
@@ -57,13 +59,14 @@ class LLMScheduler:
     front of StreamScheduler in the serving runtimes."""
 
     def __init__(self, tts, width: int = 4, chunk_steps: int = 32, prewarm: bool = True,
-                 silent_tokens=None):
+                 silent_tokens=None, prefill_window_s: float = 0.02):
         import threading
 
         self.t = tts
         self.width = width
         self.chunk_steps = chunk_steps
         self.prewarm = prewarm
+        self.prefill_window_s = prefill_window_s
         if silent_tokens is None:  # v3 FSQ silent-run suppression by default
             from .tts import SILENT_TOKENS
 
@@ -97,18 +100,10 @@ class LLMScheduler:
         else:
             plan = build_prompt_plan(t.cfg.llm, full_text.tolist(), prompt_speech.tolist())
         tp = _round_up(len(plan.ids), 64)
-        batch = pad_plans_left([plan], length=tp)
         min_len = int(len(text_tokens) * min_token_text_ratio)
         max_len = int(len(text_tokens) * max_token_text_ratio)
         cache_len = _round_up(tp + _round_up(max(max_len, 1), 256), 256)
         key = t.next_key() if key is None else key
-
-        small = decode_prefill(
-            t.llm, t.llm_params,
-            jnp.asarray(batch["src"]), jnp.asarray(batch["ids"]), jnp.asarray(batch["lengths"]),
-            jnp.asarray([min_len], jnp.int32), jnp.asarray([max_len], jnp.int32),
-            key, cache_len=cache_len,
-        )
 
         with self._lock:
             g = self.groups.get((tp, cache_len))
@@ -117,31 +112,100 @@ class LLMScheduler:
                 self.groups[(tp, cache_len)] = g
             self._seq += 1
             h = self._seq
+        # dynamic-batched prefill: requests landing within prefill_window_s
+        # share ONE (k, tp) prefill program and enter the group at the SAME
+        # chunk boundary, so their downstream token chunks (and token2wav
+        # hops) stay aligned — Triton max_queue_delay, TRT-LLM inflight
+        # batching (runtime/triton_trtllm/README.md:95-124)
+        req = {"h": h, "plan": plan, "min": min_len, "max": max_len,
+               "key": key, "slot": None, "err": None}
         with g.cond:
+            g.pending.append(req)
+            g.cond.notify_all()  # a collecting leader may still sweep us in
+            while req["slot"] is None and req["err"] is None:
+                if g.collecting:
+                    g.cond.wait()
+                else:
+                    self._lead_prefill(g)  # enters/leaves with g.cond held
+        if req["err"] is not None:
+            raise req["err"]
+        with self._lock:
+            self.sessions[h] = (g, req["slot"])
+        return h
+
+    def _lead_prefill(self, g: _Group) -> None:
+        """Collect pending opens for one arrival window, prefill them as a
+        single batch, and insert every row. Caller holds g.cond (kept on
+        return); g.collecting must be False."""
+        import time
+
+        t = self.t
+        g.collecting = True
+        try:
+            deadline = time.monotonic() + self.prefill_window_s
+            while len(g.pending) < len(g.free):
+                rem = deadline - time.monotonic()
+                if rem <= 0:
+                    break
+                g.cond.wait(rem)
             while g.stepping or not g.free:
                 g.cond.wait()
-            fresh = g.state is None
+            batch = [g.pending.pop(0) for _ in range(min(len(g.pending), len(g.free)))]
+            slots = [g.free.pop() for _ in batch]
+            g.stepping = True  # exclusive g.state access for the insert
+        except BaseException:
+            g.collecting = False
+            g.cond.notify_all()
+            raise
+        fresh = g.state is None
+        g.cond.release()
+        try:
+            plans = pad_plans_left([r["plan"] for r in batch], length=g.tp)
+            small = decode_prefill(
+                t.llm, t.llm_params,
+                jnp.asarray(plans["src"]), jnp.asarray(plans["ids"]),
+                jnp.asarray(plans["lengths"]),
+                jnp.asarray([r["min"] for r in batch], jnp.int32),
+                jnp.asarray([r["max"] for r in batch], jnp.int32),
+                batch[0]["key"], cache_len=g.cache_len,
+            )
             if fresh:
                 g.state = cont_empty(small, self.width)
-            slot = g.free.pop()
-            g.state = cont_insert(g.state, small, jnp.asarray(slot, jnp.int32))
-            g.owners[slot] = h
-            g.buffers[h] = []
-            if fresh and self.prewarm:
-                # compile the shared chunk program before traffic (the
-                # result of a prewarm chunk on the just-inserted row is the
-                # row's REAL first chunk — distribute it, don't discard)
-                g.stepping = True
-                try:
-                    g.cond.release()
-                    self._run_chunk(g)
-                finally:
-                    g.cond.acquire()
-                    g.stepping = False
-                    g.cond.notify_all()
-        with self._lock:
-            self.sessions[h] = (g, slot)
-        return h
+            g.state = cont_insert_rows(
+                g.state, small, jnp.asarray(slots, jnp.int32),
+                jnp.stack([jnp.asarray(r["key"]) for r in batch]),
+            )
+        except BaseException as e:
+            g.cond.acquire()
+            g.stepping = False
+            g.collecting = False
+            g.free.extend(slots)
+            for r in batch:
+                r["err"] = e
+            g.cond.notify_all()
+            raise
+        g.cond.acquire()
+        for r, s in zip(batch, slots):
+            g.owners[s] = r["h"]
+            g.buffers[r["h"]] = []
+            r["slot"] = s
+        g.stepping = False
+        g.collecting = False
+        g.cond.notify_all()
+        if fresh and self.prewarm:
+            # compile the shared chunk program before traffic (the result
+            # of a prewarm chunk on the just-inserted rows is those rows'
+            # REAL first chunk — distribute it, don't discard)
+            while g.stepping:
+                g.cond.wait()
+            g.stepping = True
+            try:
+                g.cond.release()
+                self._run_chunk(g)
+            finally:
+                g.cond.acquire()
+                g.stepping = False
+                g.cond.notify_all()
 
     def stream(self, h: int):
         """Yield np.int32 arrays of newly-emitted speech tokens; ends when

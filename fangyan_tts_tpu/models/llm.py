@@ -359,6 +359,39 @@ def cont_insert(big: ContState, small: DecodeState, slot: jnp.ndarray) -> ContSt
     )
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def cont_insert_rows(
+    big: ContState, small: DecodeState, slots: jnp.ndarray, keys: jnp.ndarray
+) -> ContState:
+    """Insert EVERY row of a batched-prefill DecodeState into `slots`.
+
+    The dynamic-batching serving front (infer/llm_batch.py) collects opens
+    in a short arrival window and prefills them as ONE (k, tp) program —
+    the TRT-LLM inflight-batching analogue of Triton's max_queue_delay
+    (runtime/triton_trtllm/README.md:95-124). `keys` carries each row's
+    own PRNG key (decode_prefill's single-key DecodeState is batch-wide)."""
+    cache = {
+        "k": big.cache["k"].at[:, slots].set(small.cache["k"].astype(big.cache["k"].dtype)),
+        "v": big.cache["v"].at[:, slots].set(small.cache["v"].astype(big.cache["v"].dtype)),
+        # same tp bucket -> the solo scalar write index applies to every row
+        "index": big.cache["index"].at[slots].set(small.cache["index"]),
+    }
+    b = small.logits.shape[0]
+    return ContState(
+        cache=cache,
+        logits=big.logits.at[slots].set(small.logits.astype(big.logits.dtype)),
+        recent=big.recent.at[slots].set(small.recent),
+        done=big.done.at[slots].set(False),
+        counts=big.counts.at[slots].set(0),
+        i=big.i.at[slots].set(0),
+        keys=big.keys.at[slots].set(keys),
+        prompt_lens=big.prompt_lens.at[slots].set(small.prompt_lens[:b]),
+        start_slots=big.start_slots.at[slots].set(small.start_slots[:b]),
+        min_lens=big.min_lens.at[slots].set(small.min_lens[:b]),
+        max_lens=big.max_lens.at[slots].set(small.max_lens[:b]),
+    )
+
+
 @partial(jax.jit, static_argnames=("model", "n_steps", "prompt_pad"), donate_argnums=(2,))
 def decode_chunk_cont(
     model: CosyVoice3LM,

@@ -142,6 +142,52 @@ def test_threaded_sessions_match_solo(tiny_tts):
         np.testing.assert_array_equal(got[i], want[i], err_msg=f"session {i}")
 
 
+def test_batched_prefill_window_aligns_sessions(tiny_tts):
+    """Opens landing within prefill_window_s share ONE batched prefill
+    (models/llm.py cont_insert_rows) and enter at the same chunk boundary;
+    streams stay byte-identical to solo runs."""
+    import fangyan_tts_tpu.infer.llm_batch as lb
+
+    rng = np.random.default_rng(7)
+    texts = [rng.integers(0, 40, (8,)).astype(np.int32) for _ in range(4)]
+    keys = [jax.random.PRNGKey(500 + i) for i in range(4)]
+    want = [_solo(tiny_tts, texts[i], keys[i]) for i in range(4)]
+
+    calls = []
+    orig = lb.decode_prefill
+
+    def counting_prefill(model, params, src, *a, **k):
+        calls.append(int(src.shape[0]))
+        return orig(model, params, src, *a, **k)
+
+    lb.decode_prefill = counting_prefill
+    try:
+        sched = LLMScheduler(tiny_tts, width=4, prewarm=True, prefill_window_s=0.5)
+        got = [None] * 4
+        errs = []
+
+        def client(i):
+            try:
+                h = sched.open(texts[i], min_token_text_ratio=6.0,
+                               max_token_text_ratio=6.0, key=keys[i])
+                chunks = list(sched.stream(h))
+                got[i] = np.concatenate(chunks) if chunks else np.zeros(0, np.int32)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+    finally:
+        lb.decode_prefill = orig
+    assert not errs, errs
+    for i in range(4):
+        np.testing.assert_array_equal(got[i], want[i], err_msg=f"session {i}")
+    # all four opens fit one 0.5 s window -> one batched prefill call
+    assert max(calls) >= 2, f"no batched prefill happened: widths {calls}"
+    assert sum(calls) == 4, f"prefilled rows != sessions: widths {calls}"
+
+
 def test_abandoned_stream_releases_slot(tiny_tts):
     """Dropping a stream generator mid-session frees its slot (the dead
     row must not keep the width occupied); a new session reuses it."""
