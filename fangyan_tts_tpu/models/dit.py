@@ -62,18 +62,29 @@ class CausalConvPositionEmbedding(nn.Module):
     groups: int = 16
 
     @nn.compact
-    def __call__(self, x):  # (B, L, D)
+    def __call__(self, x, tails=None):  # (B, L, D)
+        """tails: optional ((B, K-1, D), (B, K-1, D)) carried left context for
+        the two convs (streaming chunk mode); when given, returns
+        (x, new_tail1, new_tail2) instead of left-zero-padding."""
         pad = self.kernel_size - 1
-        for name in ("conv1", "conv2"):
+        new_tails = []
+        for i, name in enumerate(("conv1", "conv2")):
             k = self.param(
                 f"{name}_kernel",
                 nn.initializers.lecun_normal(),
                 (self.kernel_size, self.dim // self.groups, self.dim),
             )
             b = self.param(f"{name}_bias", nn.initializers.zeros, (self.dim,))
-            x = conv1d(x, k.astype(x.dtype), b.astype(x.dtype), padding=(pad, 0), groups=self.groups)
+            if tails is None:
+                x = conv1d(x, k.astype(x.dtype), b.astype(x.dtype), padding=(pad, 0), groups=self.groups)
+            else:
+                xin = jnp.concatenate([tails[i].astype(x.dtype), x], axis=1)
+                new_tails.append(xin[:, -pad:])
+                x = conv1d(xin, k.astype(x.dtype), b.astype(x.dtype), padding=(0, 0), groups=self.groups)
             x = x * jnp.tanh(jax.nn.softplus(x))  # mish
-        return x
+        if tails is None:
+            return x
+        return x, new_tails[0], new_tails[1]
 
 
 def _rotary_freqs(seq_len: int, dim_head: int, theta: float = 10000.0) -> np.ndarray:
@@ -140,6 +151,135 @@ class DiTBlock(nn.Module):
         h = nn.Dense(c.dim, name="ff_2", dtype=x.dtype)(h)
         x = x + gate_mlp[:, None] * h
         return (x, t_emb, attn_bias, cos, sin), None
+
+
+class DiTAttentionChunk(nn.Module):
+    """KV-cached chunk attention: processes Lq NEW frames, appending their
+    (post-rotary) K/V at each row's write offset and attending over the
+    whole cache under `bias`. Param names/shapes match DiTAttention exactly,
+    so the streaming path runs from the SAME checkpoint params."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, k_cache, v_cache, lens, cos, sin, bias):
+        """x: (B, Lq, dim); k_cache/v_cache: (B, C, inner); lens: (B,) write
+        offsets; cos/sin: (B, Lq, rot) absolute-position rotary; bias:
+        (B, Lq, C) additive f32 attention bias (chunk-causal + front cap)."""
+        c = self.cfg
+        b, lq, _ = x.shape
+        inner = c.heads * c.dim_head
+        q = nn.Dense(inner, name="to_q", dtype=x.dtype)(x)
+        k = nn.Dense(inner, name="to_k", dtype=x.dtype)(x)
+        v = nn.Dense(inner, name="to_v", dtype=x.dtype)(x)
+        q = _apply_rotary_pre_split(q, cos, sin)
+        k = _apply_rotary_pre_split(k, cos, sin)
+        dus = lambda buf, new, i: jax.lax.dynamic_update_slice(buf, new, (i, 0))
+        k_cache = jax.vmap(dus)(k_cache, k.astype(k_cache.dtype), lens)
+        v_cache = jax.vmap(dus)(v_cache, v.astype(v_cache.dtype), lens)
+        cap = k_cache.shape[1]
+        qh = q.reshape(b, lq, c.heads, c.dim_head)
+        kh = k_cache.reshape(b, cap, c.heads, c.dim_head).astype(x.dtype)
+        vh = v_cache.reshape(b, cap, c.heads, c.dim_head).astype(x.dtype)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(c.dim_head)
+        scores = scores.astype(jnp.float32) + bias[:, None]
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(b, lq, inner)
+        return nn.Dense(c.dim, name="to_out", dtype=x.dtype)(out), k_cache, v_cache
+
+
+class DiTBlockChunk(nn.Module):
+    """Scan-compatible KV-cached DiTBlock. carry = (x, t_emb, lens, cos,
+    sin, bias); xs/ys = this layer's {'k','v'} cache slice. Param paths
+    match DiTBlock (blocks/attn/..., blocks/ff_0, ...)."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, carry, layer_cache):
+        x, t_emb, lens, cos, sin, bias = carry
+        c = self.cfg
+        mod = nn.Dense(c.dim * 6, name="attn_norm_linear", dtype=x.dtype)(nn.silu(t_emb))
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
+        norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="attn_norm")(x)
+        norm = norm * (1 + scale_msa[:, None]) + shift_msa[:, None]
+        attn_out, k_cache, v_cache = DiTAttentionChunk(c, name="attn")(
+            norm, layer_cache["k"], layer_cache["v"], lens, cos, sin, bias
+        )
+        x = x + gate_msa[:, None] * attn_out
+
+        ff_norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="ff_norm")(x)
+        ff_norm = ff_norm * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
+        h = nn.Dense(c.dim * c.ff_mult, name="ff_0", dtype=x.dtype)(ff_norm)
+        h = nn.gelu(h, approximate=True)
+        h = nn.Dense(c.dim, name="ff_2", dtype=x.dtype)(h)
+        x = x + gate_mlp[:, None] * h
+        return (x, t_emb, lens, cos, sin, bias), {"k": k_cache, "v": v_cache}
+
+
+class DiTChunk(nn.Module):
+    """KV-cached streaming velocity estimator: one hop of NEW frames through
+    the full DiT, reading/appending per-layer K/V and causal-conv tails.
+
+    Applied with the SAME param dict as DiT (identical param paths), so
+    offline and streaming share one checkpoint. Exactness rests on the
+    50-frame chunk-causal mask (ops/masks.chunk_attn_mask semantics,
+    reference mask.py:224-230): hops are aligned to the chunk grid by
+    prompt_pad, so frames already solved never attend to later frames and
+    their K/V are final the step they are computed."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, Lq, mel) new noised frames
+        mu: jnp.ndarray,  # (B, Lq, mu_dim)
+        t: jnp.ndarray,  # (B,)
+        spks: jnp.ndarray,  # (B, spk_dim)
+        cond: jnp.ndarray,  # (B, Lq, mel)
+        cache: dict,  # {'k','v': (depth, B, C, inner), 'tail1','tail2': (B, K-1, dim)}
+        lens: jnp.ndarray,  # (B,) frames already cached (write offset)
+        bias: jnp.ndarray,  # (B, Lq, C) additive f32 attention bias
+    ) -> tuple[jnp.ndarray, dict]:
+        c = self.cfg
+        b, lq, _ = x.shape
+        t_emb = TimestepEmbedding(c.dim, c.freq_embed_dim, name="time_embed")(t.astype(x.dtype))
+
+        spks_b = jnp.broadcast_to(spks[:, None, :], (b, lq, spks.shape[-1])).astype(x.dtype)
+        h = jnp.concatenate([x, cond, mu, spks_b], axis=-1)
+        h = nn.Dense(c.dim, name="input_proj", dtype=x.dtype)(h)
+        conv_out, tail1, tail2 = CausalConvPositionEmbedding(
+            c.dim, c.conv_pos_kernel, c.conv_pos_groups, name="conv_pos_embed"
+        )(h, tails=(cache["tail1"], cache["tail2"]))
+        h = conv_out + h
+
+        # absolute-position rotary for the new frames (interleaved pairing,
+        # first dim_head channels only — see module docstring quirk)
+        inv = 1.0 / (10000.0 ** (jnp.arange(0, c.dim_head, 2, dtype=jnp.float32) / c.dim_head))
+        pos = lens[:, None].astype(jnp.float32) + jnp.arange(lq, dtype=jnp.float32)[None, :]
+        f = pos[:, :, None] * inv[None, None, :]  # (B, Lq, dh/2)
+        f = jnp.repeat(f, 2, axis=-1)
+        cos, sin = jnp.cos(f).astype(x.dtype), jnp.sin(f).astype(x.dtype)
+
+        scan = nn.scan(
+            DiTBlockChunk,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=c.depth,
+            in_axes=0,
+            out_axes=0,
+        )
+        (h, *_), new_kv = scan(c, name="blocks")(
+            (h, t_emb, lens, cos, sin, bias), {"k": cache["k"], "v": cache["v"]}
+        )
+
+        mod = nn.Dense(c.dim * 2, name="norm_out_linear", dtype=x.dtype)(nn.silu(t_emb))
+        scale, shift = jnp.split(mod, 2, axis=-1)
+        h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="norm_out")(h)
+        h = h * (1 + scale)[:, None] + shift[:, None]
+        out = nn.Dense(c.mel_dim, name="proj_out", dtype=x.dtype)(h)
+        return out, {"k": new_kv["k"], "v": new_kv["v"], "tail1": tail1, "tail2": tail2}
 
 
 class DiT(nn.Module):

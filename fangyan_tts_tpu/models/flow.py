@@ -27,8 +27,8 @@ import numpy as np
 
 from ..config import FlowConfig
 from ..ops.convs import conv1d
-from ..ops.masks import chunk_attn_mask
-from .dit import DiT
+from ..ops.masks import chunk_attn_mask, chunk_kv_bias
+from .dit import DiT, DiTChunk
 
 
 @functools.lru_cache(maxsize=1)
@@ -58,9 +58,16 @@ class PreLookaheadLayer(nn.Module):
     pre_lookahead_len: int = 3
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, context: jnp.ndarray | None = None) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: jnp.ndarray | None = None,
+        chunk_left: int = 0,
+        chunk_finalize: bool = False,
+    ) -> jnp.ndarray:
         """x: (B, L, C). context: optional (B, pre_lookahead_len, C) future
-        tokens (streaming non-finalize step)."""
+        tokens (streaming non-finalize step). chunk_left > 0 enables the
+        KV-streaming chunk mode (see below)."""
         k1 = self.param(
             "conv1_kernel", nn.initializers.lecun_normal(), (self.pre_lookahead_len + 1, self.in_channels, self.channels)
         )
@@ -68,6 +75,19 @@ class PreLookaheadLayer(nn.Module):
         k2 = self.param("conv2_kernel", nn.initializers.lecun_normal(), (3, self.channels, self.in_channels))
         b2 = self.param("conv2_bias", nn.initializers.zeros, (self.in_channels,))
 
+        if chunk_left:
+            # streaming chunk: x = [chunk_left ctx ++ new ++ lookahead (unless
+            # finalize, whose right context is the zero pad)] — outputs ONLY
+            # the new positions, bit-matching the full-sequence conv there
+            # (the receptive field at those positions is fully provided)
+            assert chunk_left == 2, "conv2 (k=3) left context is 2 frames"
+            h = conv1d(
+                x, k1.astype(x.dtype), b1.astype(x.dtype),
+                padding=(0, self.pre_lookahead_len if chunk_finalize else 0),
+            )
+            h = jax.nn.leaky_relu(h, negative_slope=0.01)
+            h = conv1d(h, k2.astype(x.dtype), b2.astype(x.dtype), padding=(0, 0))
+            return h + x[:, chunk_left : chunk_left + h.shape[1]]
         if context is None:
             h = conv1d(x, k1.astype(x.dtype), b1.astype(x.dtype), padding=(0, self.pre_lookahead_len))
         else:
@@ -162,6 +182,18 @@ class CausalMaskedDiffWithDiT(nn.Module):
         pos = jnp.arange(l_mel)[None, :, None]
         conds = jnp.where(pos < prompt_feat_len[:, None, None], pf, 0.0)
         return h, spks, conds, mel_len
+
+    def prepare_chunk(self, token_ctx: jnp.ndarray, finalize: bool = False) -> jnp.ndarray:
+        """mu for ONE streaming hop's new tokens (KV-cached flow streaming).
+
+        token_ctx: (B, 2 + n_new [+ pre_lookahead_len]) — 2 tokens of conv2
+        left context, the hop's new tokens, and (unless finalize) the
+        lookahead tokens. Returns mu (B, n_new * token_mel_ratio, input_size),
+        bit-matching prepare_inference's rows at those positions."""
+        c = self.cfg
+        emb = self.input_embedding(jnp.clip(token_ctx, 0, c.vocab_size - 1))
+        h = self.pre_lookahead_layer(emb, chunk_left=2, chunk_finalize=finalize)
+        return repeat_interleave_time(h, c.token_mel_ratio)
 
     def __call__(
         self,
@@ -259,6 +291,70 @@ def cfm_solve(
 
     x, _ = jax.lax.scan(step, z, (ts, dts))
     return x
+
+
+def empty_kv_cache(cfg: FlowConfig, b: int, capacity: int, dtype=jnp.bfloat16) -> dict:
+    """Per-Euler-step DiT KV cache for b CFG-PAIRED rows (allocate with
+    b = 2 * batch). Leaves: k/v (T, depth, b, capacity, inner) + the two
+    causal-conv-position tails."""
+    d = cfg.dit
+    t, inner, pad = cfg.n_timesteps, d.heads * d.dim_head, d.conv_pos_kernel - 1
+    return {
+        "k": jnp.zeros((t, d.depth, b, capacity, inner), dtype),
+        "v": jnp.zeros((t, d.depth, b, capacity, inner), dtype),
+        "tail1": jnp.zeros((t, b, pad, d.dim), dtype),
+        "tail2": jnp.zeros((t, b, pad, d.dim), dtype),
+    }
+
+
+def cfm_solve_chunk(
+    cfg: FlowConfig,
+    dit_params,
+    z: jnp.ndarray,  # (B, Lq, mel) noise for the NEW frames
+    mu: jnp.ndarray,  # (B, Lq, mu_dim)
+    spks: jnp.ndarray,  # (B, spk_dim)
+    conds: jnp.ndarray,  # (B, Lq, mel)
+    cache: dict,  # empty_kv_cache(..., 2B, C) pytree — donate for in-place
+    lens: jnp.ndarray,  # (B,) frames already cached per row
+    q_valid: jnp.ndarray,  # (B,) valid new frames (== Lq except finalize)
+) -> tuple[jnp.ndarray, dict]:
+    """ONE streaming hop of the CFG Euler solve (flow_matching.py:71-124)
+    over only the NEW frames, against per-timestep KV caches.
+
+    Exact vs the full-prefix re-solve the reference streams with
+    (cli/model.py:416-441): the 50-frame chunk-causal mask plus the
+    prompt_pad hop alignment (infer/stream.py) mean already-solved frames
+    never see later frames, so their per-timestep K/V are final. Per-hop
+    cost drops from O(prefix * timesteps) to O(chunk * timesteps) compute
+    (+ cache reads) — constant per hop instead of quadratic per stream."""
+    dit = DiTChunk(cfg.dit)
+    b, lq, _ = z.shape
+    cap = cache["k"].shape[3]
+    bias = chunk_kv_bias(lens, q_valid, lq, cap, cfg.dit.static_chunk_size)
+    bias2 = jnp.concatenate([bias, bias], axis=0)
+    lens2 = jnp.concatenate([lens, lens], axis=0)
+    mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
+    spks2 = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+    cond2 = jnp.concatenate([conds, jnp.zeros_like(conds)], axis=0)
+    rate = cfg.inference_cfg_rate
+
+    t_span = jnp.asarray(cosine_t_span(cfg.n_timesteps), z.dtype)
+    ts, dts = t_span[:-1], t_span[1:] - t_span[:-1]
+
+    def body(i, carry):
+        x, cache = carry
+        cache_t = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False), cache)
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.full((2 * b,), ts[i], x.dtype)
+        v, new_ct = dit.apply({"params": dit_params}, x2, mu2, t2, spks2, cond2, cache_t, lens2, bias2)
+        x = x + dts[i] * ((1.0 + rate) * v[:b] - rate * v[b:])
+        cache = jax.tree.map(
+            lambda a, s: jax.lax.dynamic_update_index_in_dim(a, s.astype(a.dtype), i, 0), cache, new_ct
+        )
+        return (x, cache)
+
+    x, cache = jax.lax.fori_loop(0, cfg.n_timesteps, body, (z, cache))
+    return x, cache
 
 
 def flow_inference(

@@ -54,6 +54,28 @@ def chunk_attn_mask(
     return jnp.broadcast_to(pad, (pad.shape[0], max_len, max_len))
 
 
+def chunk_kv_bias(
+    lens: jnp.ndarray,  # (B,) frames already cached per row
+    q_valid: jnp.ndarray,  # (B,) valid NEW frames this hop
+    lq: int,  # static new-frame count (rows may be partially valid)
+    cap: int,  # cache capacity (key axis)
+    chunk_size: int,
+) -> jnp.ndarray:
+    """(B, lq, cap) additive f32 bias for KV-cached chunk attention.
+
+    Query at absolute position lens+j attends keys [0, min(end of its own
+    chunk, lens+q_valid)) — exactly chunk_attn_mask's allowed set evaluated
+    at the current stream front (reference mask.py:224-230), restricted to
+    the new rows. Keys are addressed by absolute position (the cache grows
+    contiguously from 0)."""
+    abs_q = lens[:, None] + jnp.arange(lq)[None, :]  # (B, lq)
+    front = (lens + q_valid)[:, None]
+    cap_q = jnp.minimum((abs_q // chunk_size + 1) * chunk_size, front)
+    key_pos = jnp.arange(cap)[None, None, :]
+    allowed = key_pos < cap_q[:, :, None]
+    return mask_to_bias(allowed)
+
+
 def causal_mask(size: int) -> jnp.ndarray:
     """(size, size) lower-triangular bool mask."""
     q = lax.broadcasted_iota(jnp.int32, (size, size), 0)
