@@ -61,7 +61,9 @@ class BatchedStreamGroup:
             ptok = np.asarray(ptok, np.int32)
             assert len(ptok) == p0, "batched slots must share the prompt length"
             pad = -len(ptok) % tts.cfg.chunk_size
-            self.fs.append(FlowStream(tts, ptok, pfeat, emb, pad))
+            f = FlowStream(tts, ptok, pfeat, emb, pad)
+            f.kv = False  # group young hops batch via the bucketed programs
+            self.fs.append(f)
             self.vs.append(VocStream(tts))
         f = self.fs[0]
         self.hop, self.la, self.pad = f.hop, f.la, f.pad
@@ -397,6 +399,7 @@ class BatchedStreamGroup:
         assert len(prompt_token) == self.fs[0].P, "slot recycling requires the group's prompt length"
         pad = -len(prompt_token) % self.t.cfg.chunk_size
         self.fs[slot] = FlowStream(self.t, prompt_token, prompt_feat, embedding, pad)
+        self.fs[slot].kv = False  # group young hops batch via the bucketed programs
         self.vs[slot] = VocStream(self.t)
         self.tokens[slot] = np.zeros(0, np.int32)
         self.token_offset[slot] = 0

@@ -34,7 +34,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.flow import CausalMaskedDiffWithDiT, cfm_solve, fixed_cfm_noise
+from functools import partial
+
+from ..models.flow import (
+    CausalMaskedDiffWithDiT,
+    cfm_solve,
+    cfm_solve_chunk,
+    empty_kv_cache,
+    fixed_cfm_noise,
+)
 from ..models.hift import CausalHiFT, nsf_buffers
 
 F_CAP = 128  # finalize mel remainder capacity (max remainder is < 104 frames)
@@ -215,6 +223,18 @@ class FlowStream:
         if self.emb.ndim == 1:
             self.emb = self.emb[None]
         self.hops_done = 0  # completed hops; target tokens consumed = hop*k + pad (k>0)
+        # KV-cached young phase (models/flow.py cfm_solve_chunk): per-hop cost
+        # O(chunk) instead of re-solving the growing prefix; numerically equal
+        # to the reference's full-prefix re-solve (tests/test_flow_kv.py)
+        self.kv = bool(getattr(tts, "flow_kv_stream", True))
+        self.P_mel = int(self.prompt_feat.shape[1])
+        # cache cap: steady hops write < P_mel + W*ratio; the finalize chunk
+        # writes up to (hop + la)*ratio more rows past the last hop boundary
+        self.C = -(-(self.P_mel + (self.W + self.hop + self.la) * self.ratio) // 128) * 128
+        self._kv_cache = None
+        self._kv_spks = None
+        self._kv_held = None  # (1, pad*ratio, 80) newest frames held one hop
+        self._kv_len = 0  # frames cached (device-side write front)
 
     def _noise_buf(self):
         t = self.t
@@ -283,6 +303,116 @@ class FlowStream:
             t._flow_jit[key] = fn
         return t._flow_jit[key]
 
+    # ---- KV-cached young phase (constant-cost hops) ------------------------
+
+    def _kv_prefill_fn(self):
+        t = self.t
+        key = ("kv_prefill", self.P, self.pad, self.C)
+        if key not in t._flow_jit:
+            flow, fcfg = t.flow, t.cfg.flow
+            P, pad, hop, la, ratio = self.P, self.pad, self.hop, self.la, self.ratio
+            P_mel = self.P_mel
+            n_tok = P + hop + pad + la
+            lq0 = P_mel + (hop + pad) * ratio
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def fn(p, cache, token, prompt_feat, pf_len, emb, noise_buf):
+                b = token.shape[0]
+                mu, spks, conds, _ = flow.apply(
+                    {"params": p}, token, jnp.full((b,), n_tok, jnp.int32),
+                    prompt_feat, pf_len, emb, finalize=False,
+                    method=CausalMaskedDiffWithDiT.prepare_inference,
+                )
+                z = jnp.broadcast_to(noise_buf[:, :lq0], (b, lq0, noise_buf.shape[2])).astype(mu.dtype)
+                x, cache = cfm_solve_chunk(
+                    fcfg, p["estimator"], z, mu[:, :lq0], spks, conds[:, :lq0],
+                    cache, jnp.zeros((b,), jnp.int32), jnp.full((b,), lq0, jnp.int32),
+                )
+                return x[:, P_mel:], cache, spks
+
+            t._flow_jit[key] = fn
+        return t._flow_jit[key]
+
+    def _kv_hop_fn(self):
+        t = self.t
+        key = ("kv_hop", self.C)  # prompt-independent: ONE program per capacity
+        if key not in t._flow_jit:
+            flow, fcfg = t.flow, t.cfg.flow
+            H, mel_d = self.H, t.cfg.flow.output_size
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def fn(p, cache, tok_ctx, lens, spks, noise_buf, z_starts):
+                b = tok_ctx.shape[0]
+                mu = flow.apply({"params": p}, tok_ctx, method=CausalMaskedDiffWithDiT.prepare_chunk)
+                idx = z_starts[:, None] + jnp.arange(H)[None, :]
+                z = noise_buf[0][idx].astype(mu.dtype)  # (B, H, mel)
+                conds = jnp.zeros((b, H, mel_d), mu.dtype)
+                x, cache = cfm_solve_chunk(
+                    fcfg, p["estimator"], z, mu, spks, conds, cache, lens,
+                    jnp.full((b,), H, jnp.int32),
+                )
+                return x, cache
+
+            t._flow_jit[key] = fn
+        return t._flow_jit[key]
+
+    def _kv_fin_fn(self):
+        t = self.t
+        key = ("kv_fin", self.C, self.pad)
+        if key not in t._flow_jit:
+            flow, fcfg = t.flow, t.cfg.flow
+            hop, la, ratio, pad = self.hop, self.la, self.ratio, self.pad
+            ft = hop + la  # static token capacity of the final partial hop
+            mel_d = t.cfg.flow.output_size
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def fn(p, cache, tok_ctx, n_new_tok, lens, spks, noise_buf, z_starts, held):
+                b = tok_ctx.shape[0]
+                mu = flow.apply(
+                    {"params": p}, tok_ctx, finalize=True, n_valid=n_new_tok,
+                    method=CausalMaskedDiffWithDiT.prepare_chunk,
+                )
+                idx = z_starts[:, None] + jnp.arange(ft * ratio)[None, :]
+                z = noise_buf[0][idx].astype(mu.dtype)
+                conds = jnp.zeros((b, ft * ratio, mel_d), mu.dtype)
+                q_valid = n_new_tok * ratio
+                x, cache = cfm_solve_chunk(
+                    fcfg, p["estimator"], z, mu, spks, conds, cache, lens, q_valid,
+                )
+                x = x * (jnp.arange(ft * ratio)[None, :, None] < q_valid[:, None, None])
+                out = jnp.concatenate([held.astype(x.dtype), x], axis=1)
+                return jnp.pad(out, ((0, 0), (0, F_CAP - pad * ratio - ft * ratio), (0, 0)))
+
+            t._flow_jit[key] = fn
+        return t._flow_jit[key]
+
+    def _kv_step(self, tokens: np.ndarray, k: int, consumed: int) -> jnp.ndarray:
+        t = self.t
+        hb = self.pad * self.ratio  # held-back frames (grid lag)
+        if k == 1:
+            self._kv_cache = empty_kv_cache(t.cfg.flow, 2, self.C, t.dtype)
+            tok = np.concatenate([self.prompt_tokens, tokens[: consumed + self.la]])
+            x, self._kv_cache, self._kv_spks = self._kv_prefill_fn()(
+                t.flow_params, self._kv_cache, jnp.asarray(tok[None]),
+                self.prompt_feat, self.pf_len, self.emb, self._noise_buf(),
+            )
+            self._kv_len = self.P_mel + consumed * self.ratio
+            mel_h, self._kv_held = x[:, : self.H], x[:, self.H :]
+            return mel_h
+        s = consumed - self.hop
+        tok_ctx = tokens[s - 2 : s + self.hop + self.la]
+        x, self._kv_cache = self._kv_hop_fn()(
+            t.flow_params, self._kv_cache, jnp.asarray(tok_ctx[None]),
+            jnp.asarray([self._kv_len], jnp.int32), self._kv_spks, self._noise_buf(),
+            jnp.asarray([self._kv_len], jnp.int32),
+        )
+        self._kv_len += self.H
+        if hb == 0:
+            return x
+        mel_h = jnp.concatenate([self._kv_held, x[:, : self.H - hb]], axis=1)
+        self._kv_held = x[:, self.H - hb :]
+        return mel_h
+
     def step(self, tokens: np.ndarray) -> jnp.ndarray:
         """One hop. tokens: ALL target tokens so far (host). Consumes the next
         hop (hop 1 additionally absorbs prompt_pad) and returns exactly
@@ -291,12 +421,15 @@ class FlowStream:
         consumed = self.hop * k + (self.pad if k >= 1 else 0)
         s = consumed - self.W  # target window start
         if s >= 0:
+            self._kv_cache = None  # steady regime: windowed splice takes over
             win = np.concatenate(
                 [self.prompt_tokens, tokens[s : consumed + self.la]]
             ).astype(np.int32)
             mel_h = self._window_fn(False)(
                 jnp.asarray(win[None]), s, self.prompt_feat, self.pf_len, self.emb, self._noise_buf()
             )
+        elif self.kv:
+            mel_h = self._kv_step(tokens, k, consumed)
         else:
             chunk_tokens = tokens[: consumed + self.la]
             mel = self.t.token2mel(
@@ -322,6 +455,22 @@ class FlowStream:
                 jnp.asarray(win[None]), n_t - self.W, self.prompt_feat, self.pf_len, self.emb,
                 self._noise_buf(), n_rem,
             )
+        elif self.kv and self._kv_cache is not None:
+            consumed = self.hop * self.hops_done + self.pad
+            n_new = n_t - consumed
+            ft = self.hop + self.la
+            tok_ctx = np.zeros(2 + ft, np.int32)
+            tok_ctx[: 2 + n_new] = tokens[consumed - 2 :]
+            held = self._kv_held
+            if held is None:  # pad == 0: no grid lag
+                held = jnp.zeros((1, 0, 80), self.t.dtype)
+            f_pad = self._kv_fin_fn()(
+                self.t.flow_params, self._kv_cache, jnp.asarray(tok_ctx[None]),
+                jnp.asarray([n_new], jnp.int32), jnp.asarray([self._kv_len], jnp.int32),
+                self._kv_spks, self._noise_buf(), jnp.asarray([self._kv_len], jnp.int32),
+                held,
+            )
+            self._kv_cache = None
         else:
             mel = self.t.token2mel(
                 tokens, self.prompt_tokens, self.prompt_feat[0], self.emb[0],

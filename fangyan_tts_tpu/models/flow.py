@@ -183,15 +183,26 @@ class CausalMaskedDiffWithDiT(nn.Module):
         conds = jnp.where(pos < prompt_feat_len[:, None, None], pf, 0.0)
         return h, spks, conds, mel_len
 
-    def prepare_chunk(self, token_ctx: jnp.ndarray, finalize: bool = False) -> jnp.ndarray:
+    def prepare_chunk(
+        self,
+        token_ctx: jnp.ndarray,
+        finalize: bool = False,
+        n_valid: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
         """mu for ONE streaming hop's new tokens (KV-cached flow streaming).
 
         token_ctx: (B, 2 + n_new [+ pre_lookahead_len]) — 2 tokens of conv2
         left context, the hop's new tokens, and (unless finalize) the
-        lookahead tokens. Returns mu (B, n_new * token_mel_ratio, input_size),
-        bit-matching prepare_inference's rows at those positions."""
+        lookahead tokens. n_valid (B,) zeroes embeddings past 2 + n_valid
+        (right-padded finalize rows: matches prepare_inference's padding
+        mask, whose conv right context past the last real token is zeros).
+        Returns mu (B, n_new * token_mel_ratio, input_size), bit-matching
+        prepare_inference's rows at those positions."""
         c = self.cfg
         emb = self.input_embedding(jnp.clip(token_ctx, 0, c.vocab_size - 1))
+        if n_valid is not None:
+            keep = jnp.arange(token_ctx.shape[1])[None, :] < (2 + n_valid)[:, None]
+            emb = emb * keep[..., None].astype(emb.dtype)
         h = self.pre_lookahead_layer(emb, chunk_left=2, chunk_finalize=finalize)
         return repeat_interleave_time(h, c.token_mel_ratio)
 

@@ -25,6 +25,28 @@ from fangyan_tts_tpu.utils.init import fast_init
 CH = 10  # static_chunk_size (mel frames); ratio 2 -> hop = 5 tokens
 
 
+def _tiny_tts():
+    from fangyan_tts_tpu.config import (
+        CosyVoiceConfig, HiFTConfig, LLMConfig, QwenConfig,
+    )
+    from fangyan_tts_tpu.config import DiTConfig as DC, FlowConfig as FC
+    from fangyan_tts_tpu.infer.tts import CosyVoice3TTS
+
+    cfg = CosyVoiceConfig(
+        llm=LLMConfig(
+            llm_input_size=32, llm_output_size=32, speech_token_size=64, extra_tokens=8,
+            qwen=QwenConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                            num_attention_heads=2, num_key_value_heads=1, head_dim=16, vocab_size=128),
+        ),
+        flow=FC(
+            vocab_size=64, n_timesteps=2,
+            dit=DC(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, static_chunk_size=50),
+        ),
+        hift=HiFTConfig(base_channels=32, f0_cond_channels=16, stream_noise_seconds=10),
+    )
+    return CosyVoice3TTS.random_init(cfg, dtype=jnp.float32)
+
+
 @pytest.fixture(scope="module")
 def tiny_flow():
     cfg = FlowConfig(
@@ -163,3 +185,71 @@ def test_cfm_chunk_stream_matches_full_solve(tiny_flow):
     np.testing.assert_allclose(np.asarray(x_f),
                                np.asarray(fullF[:, start : start + n_rem_tok * ratio]),
                                atol=2e-4)
+
+
+@pytest.mark.parametrize("window", [1000, 50])
+def test_flowstream_kv_equals_full_prefix(window):
+    """FlowStream with the KV-cached young phase must emit the same hop mels
+    and finalize tail as the exact full-prefix re-solve path (kv=False),
+    including across the young -> windowed transition (window=50)."""
+    from fangyan_tts_tpu.infer.stream import FlowStream
+
+    tts_kv = _tiny_tts()
+    tts_ref = _tiny_tts()
+    tts_ref.flow_params = tts_kv.flow_params
+    tts_kv.stream_window_tokens = window
+    tts_ref.stream_window_tokens = window
+    tts_ref.flow_kv_stream = False
+
+    rng = np.random.default_rng(7)
+    P = 7  # pad = -7 % 25 = 18 -> exercises the held-back grid lag
+    n_tok = 100
+    prompt = rng.integers(0, 60, P).astype(np.int32)
+    tokens = rng.integers(0, 60, n_tok).astype(np.int32)
+    pf = rng.standard_normal((P * 2, 80)).astype(np.float32) * 0.1
+    emb = rng.standard_normal(192).astype(np.float32)
+
+    pad = -P % tts_kv.cfg.chunk_size
+    fs_kv = FlowStream(tts_kv, prompt, pf, emb, prompt_pad=pad)
+    fs_ref = FlowStream(tts_ref, prompt, pf, emb, prompt_pad=pad)
+    assert fs_kv.kv and not fs_ref.kv
+
+    for k in range(1, 4):  # consumed: 43, 68, 93 (window=50 -> hop 3+ windowed)
+        a = np.asarray(fs_kv.step(tokens))
+        b = np.asarray(fs_ref.step(tokens))
+        np.testing.assert_allclose(a, b, atol=3e-4, err_msg=f"hop {k}")
+
+    fa, na = fs_kv.finalize(tokens)
+    fb, nb = fs_ref.finalize(tokens)
+    assert na == nb
+    np.testing.assert_allclose(
+        np.asarray(fa)[:, :na], np.asarray(fb)[:, :nb], atol=3e-4, err_msg="finalize"
+    )
+
+
+def test_flowstream_kv_no_prompt():
+    """vc path: empty prompt, pad=0 (no held-back frames)."""
+    from fangyan_tts_tpu.infer.stream import FlowStream
+
+    tts_kv = _tiny_tts()
+    tts_ref = _tiny_tts()
+    tts_ref.flow_params = tts_kv.flow_params
+    tts_kv.stream_window_tokens = 1000
+    tts_ref.stream_window_tokens = 1000
+    tts_ref.flow_kv_stream = False
+
+    rng = np.random.default_rng(9)
+    tokens = rng.integers(0, 60, 62).astype(np.int32)
+    pf = np.zeros((0, 80), np.float32)
+    emb = rng.standard_normal(192).astype(np.float32)
+
+    fs_kv = FlowStream(tts_kv, np.zeros(0, np.int32), pf, emb, prompt_pad=0)
+    fs_ref = FlowStream(tts_ref, np.zeros(0, np.int32), pf, emb, prompt_pad=0)
+    for k in range(1, 3):
+        np.testing.assert_allclose(
+            np.asarray(fs_kv.step(tokens)), np.asarray(fs_ref.step(tokens)),
+            atol=3e-4, err_msg=f"hop {k}")
+    fa, na = fs_kv.finalize(tokens)
+    fb, nb = fs_ref.finalize(tokens)
+    assert na == nb == 62 * 2 - 100
+    np.testing.assert_allclose(np.asarray(fa)[:, :na], np.asarray(fb)[:, :nb], atol=3e-4)
