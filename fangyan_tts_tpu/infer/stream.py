@@ -228,13 +228,48 @@ class FlowStream:
         # to the reference's full-prefix re-solve (tests/test_flow_kv.py)
         self.kv = bool(getattr(tts, "flow_kv_stream", True))
         self.P_mel = int(self.prompt_feat.shape[1])
-        # cache cap: steady hops write < P_mel + W*ratio; the finalize chunk
+        # max cap: steady hops write < P_mel + W*ratio; the finalize chunk
         # writes up to (hop + la)*ratio more rows past the last hop boundary
         self.C = -(-(self.P_mel + (self.W + self.hop + self.la) * self.ratio) // 128) * 128
         self._kv_cache = None
+        self._kv_cap = 0  # current allocated capacity (grows on a x2 ladder:
+        # the axon runtime copies the donated cache every call, so per-hop
+        # cost tracks ALLOCATED capacity — start small, double as the
+        # stream's prefix grows instead of paying the worst case from hop 1)
         self._kv_spks = None
         self._kv_held = None  # (1, pad*ratio, 80) newest frames held one hop
         self._kv_len = 0  # frames cached (device-side write front)
+
+    @staticmethod
+    def _kv_ladder(needed: int) -> int:
+        c = 128
+        while c < needed:
+            c *= 2
+        return c
+
+    def _kv_ensure(self, needed: int) -> None:
+        """Grow the KV cache to a ladder capacity >= needed (copy-once)."""
+        nc = self._kv_ladder(needed)
+        if nc <= self._kv_cap:
+            return
+        t = self.t
+        key = ("kv_grow", self._kv_cap, nc)
+        if key not in t._flow_jit:
+            fcfg = t.cfg.flow
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def fn(cache):
+                big = empty_kv_cache(fcfg, 2, nc, t.dtype)
+                return {
+                    "k": jax.lax.dynamic_update_slice(big["k"], cache["k"], (0,) * 6),
+                    "v": jax.lax.dynamic_update_slice(big["v"], cache["v"], (0,) * 6),
+                    "tail1": cache["tail1"],
+                    "tail2": cache["tail2"],
+                }
+
+            t._flow_jit[key] = fn
+        self._kv_cache = t._flow_jit[key](self._kv_cache)
+        self._kv_cap = nc
 
     def _noise_buf(self):
         t = self.t
@@ -307,7 +342,7 @@ class FlowStream:
 
     def _kv_prefill_fn(self):
         t = self.t
-        key = ("kv_prefill", self.P, self.pad, self.C)
+        key = ("kv_prefill", self.P, self.pad, self._kv_cap)
         if key not in t._flow_jit:
             flow, fcfg = t.flow, t.cfg.flow
             P, pad, hop, la, ratio = self.P, self.pad, self.hop, self.la, self.ratio
@@ -335,7 +370,7 @@ class FlowStream:
 
     def _kv_hop_fn(self):
         t = self.t
-        key = ("kv_hop", self.C)  # prompt-independent: ONE program per capacity
+        key = ("kv_hop", self._kv_cap)  # prompt-independent: ONE program per capacity
         if key not in t._flow_jit:
             flow, fcfg = t.flow, t.cfg.flow
             H, mel_d = self.H, t.cfg.flow.output_size
@@ -358,7 +393,7 @@ class FlowStream:
 
     def _kv_fin_fn(self):
         t = self.t
-        key = ("kv_fin", self.C, self.pad)
+        key = ("kv_fin", self._kv_cap, self.pad)
         if key not in t._flow_jit:
             flow, fcfg = t.flow, t.cfg.flow
             hop, la, ratio, pad = self.hop, self.la, self.ratio, self.pad
@@ -390,7 +425,9 @@ class FlowStream:
         t = self.t
         hb = self.pad * self.ratio  # held-back frames (grid lag)
         if k == 1:
-            self._kv_cache = empty_kv_cache(t.cfg.flow, 2, self.C, t.dtype)
+            lq0 = self.P_mel + consumed * self.ratio
+            self._kv_cap = self._kv_ladder(lq0 + self.H)
+            self._kv_cache = empty_kv_cache(t.cfg.flow, 2, self._kv_cap, t.dtype)
             tok = np.concatenate([self.prompt_tokens, tokens[: consumed + self.la]])
             x, self._kv_cache, self._kv_spks = self._kv_prefill_fn()(
                 t.flow_params, self._kv_cache, jnp.asarray(tok[None]),
@@ -400,6 +437,7 @@ class FlowStream:
             mel_h, self._kv_held = x[:, : self.H], x[:, self.H :]
             return mel_h
         s = consumed - self.hop
+        self._kv_ensure(self._kv_len + self.H)
         tok_ctx = tokens[s - 2 : s + self.hop + self.la]
         x, self._kv_cache = self._kv_hop_fn()(
             t.flow_params, self._kv_cache, jnp.asarray(tok_ctx[None]),
@@ -459,6 +497,7 @@ class FlowStream:
             consumed = self.hop * self.hops_done + self.pad
             n_new = n_t - consumed
             ft = self.hop + self.la
+            self._kv_ensure(self._kv_len + ft * self.ratio)
             tok_ctx = np.zeros(2 + ft, np.int32)
             tok_ctx[: 2 + n_new] = tokens[consumed - 2 :]
             held = self._kv_held

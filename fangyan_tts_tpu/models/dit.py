@@ -154,18 +154,26 @@ class DiTBlock(nn.Module):
 
 
 class DiTAttentionChunk(nn.Module):
-    """KV-cached chunk attention: processes Lq NEW frames, appending their
-    (post-rotary) K/V at each row's write offset and attending over the
-    whole cache under `bias`. Param names/shapes match DiTAttention exactly,
-    so the streaming path runs from the SAME checkpoint params."""
+    """KV-cached chunk attention over Lq NEW frames. The cache is READ-ONLY
+    (one joint softmax over [cached C slots ++ the hop's own Lq frames]);
+    the hop's post-rotary K/V are returned for a single append outside the
+    per-layer/per-timestep loops — rewriting the full stacked cache every
+    Euler step was the measured bandwidth bottleneck (~22 us per cached
+    frame per hop). Param names/shapes match DiTAttention exactly, so the
+    streaming path runs from the SAME checkpoint params."""
 
     cfg: DiTConfig
 
     @nn.compact
-    def __call__(self, x, k_cache, v_cache, lens, cos, sin, bias):
-        """x: (B, Lq, dim); k_cache/v_cache: (B, C, inner); lens: (B,) write
-        offsets; cos/sin: (B, Lq, rot) absolute-position rotary; bias:
-        (B, Lq, C) additive f32 attention bias (chunk-causal + front cap)."""
+    def __call__(self, x, k_cache, v_cache, cos, sin, bias_cache, bias_new):
+        """x: (B, Lq, dim); k_cache/v_cache: (B, heads, C, dh) read-only,
+        HEAD-MAJOR so the attention contraction reads the cache in its
+        stored layout (seq-major forced a full-cache transpose per
+        layer x timestep — the measured bandwidth killer); cos/sin:
+        (B, Lq, rot) absolute-position rotary; bias_cache (B, Lq, C) /
+        bias_new (B, Lq, Lq): additive f32 attention biases
+        (ops/masks.chunk_split_bias). Returns (out, k_new, v_new) with
+        k_new/v_new (B, heads, Lq, dh)."""
         c = self.cfg
         b, lq, _ = x.shape
         inner = c.heads * c.dim_head
@@ -174,37 +182,42 @@ class DiTAttentionChunk(nn.Module):
         v = nn.Dense(inner, name="to_v", dtype=x.dtype)(x)
         q = _apply_rotary_pre_split(q, cos, sin)
         k = _apply_rotary_pre_split(k, cos, sin)
-        dus = lambda buf, new, i: jax.lax.dynamic_update_slice(buf, new, (i, 0))
-        k_cache = jax.vmap(dus)(k_cache, k.astype(k_cache.dtype), lens)
-        v_cache = jax.vmap(dus)(v_cache, v.astype(v_cache.dtype), lens)
-        cap = k_cache.shape[1]
-        qh = q.reshape(b, lq, c.heads, c.dim_head)
-        kh = k_cache.reshape(b, cap, c.heads, c.dim_head).astype(x.dtype)
-        vh = v_cache.reshape(b, cap, c.heads, c.dim_head).astype(x.dtype)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(c.dim_head)
-        scores = scores.astype(jnp.float32) + bias[:, None]
+        qh = q.reshape(b, lq, c.heads, c.dim_head).transpose(0, 2, 1, 3)
+        kh_n = k.reshape(b, lq, c.heads, c.dim_head).transpose(0, 2, 1, 3)
+        vh_n = v.reshape(b, lq, c.heads, c.dim_head).transpose(0, 2, 1, 3)
+        kh_c = k_cache.astype(x.dtype)
+        vh_c = v_cache.astype(x.dtype)
+        sc = jnp.einsum("bhqd,bhkd->bhqk", qh, kh_c) / math.sqrt(c.dim_head)
+        sn = jnp.einsum("bhqd,bhkd->bhqk", qh, kh_n) / math.sqrt(c.dim_head)
+        cap = k_cache.shape[2]
+        scores = jnp.concatenate(
+            [sc.astype(jnp.float32) + bias_cache[:, None],
+             sn.astype(jnp.float32) + bias_new[:, None]], axis=-1)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(b, lq, inner)
-        return nn.Dense(c.dim, name="to_out", dtype=x.dtype)(out), k_cache, v_cache
+        out = (jnp.einsum("bhqk,bhkd->bhqd", probs[..., :cap], vh_c)
+               + jnp.einsum("bhqk,bhkd->bhqd", probs[..., cap:], vh_n))
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
+        return nn.Dense(c.dim, name="to_out", dtype=x.dtype)(out), kh_n, vh_n
 
 
 class DiTBlockChunk(nn.Module):
-    """Scan-compatible KV-cached DiTBlock. carry = (x, t_emb, lens, cos,
-    sin, bias); xs/ys = this layer's {'k','v'} cache slice. Param paths
-    match DiTBlock (blocks/attn/..., blocks/ff_0, ...)."""
+    """Scan-compatible KV-cached DiTBlock. carry = (x, t_emb, cos, sin,
+    bias_cache, bias_new); xs = this layer's read-only {'k','v'} cache
+    slice; ys = the hop's NEW {'k','v'} rows only (appended by the caller).
+    Param paths match DiTBlock (blocks/attn/..., blocks/ff_0, ...)."""
 
     cfg: DiTConfig
 
     @nn.compact
     def __call__(self, carry, layer_cache):
-        x, t_emb, lens, cos, sin, bias = carry
+        x, t_emb, cos, sin, bias_cache, bias_new = carry
         c = self.cfg
         mod = nn.Dense(c.dim * 6, name="attn_norm_linear", dtype=x.dtype)(nn.silu(t_emb))
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
         norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="attn_norm")(x)
         norm = norm * (1 + scale_msa[:, None]) + shift_msa[:, None]
-        attn_out, k_cache, v_cache = DiTAttentionChunk(c, name="attn")(
-            norm, layer_cache["k"], layer_cache["v"], lens, cos, sin, bias
+        attn_out, k_new, v_new = DiTAttentionChunk(c, name="attn")(
+            norm, layer_cache["k"], layer_cache["v"], cos, sin, bias_cache, bias_new
         )
         x = x + gate_msa[:, None] * attn_out
 
@@ -214,7 +227,7 @@ class DiTBlockChunk(nn.Module):
         h = nn.gelu(h, approximate=True)
         h = nn.Dense(c.dim, name="ff_2", dtype=x.dtype)(h)
         x = x + gate_mlp[:, None] * h
-        return (x, t_emb, lens, cos, sin, bias), {"k": k_cache, "v": v_cache}
+        return (x, t_emb, cos, sin, bias_cache, bias_new), {"k": k_new, "v": v_new}
 
 
 class DiTChunk(nn.Module):
@@ -238,10 +251,14 @@ class DiTChunk(nn.Module):
         t: jnp.ndarray,  # (B,)
         spks: jnp.ndarray,  # (B, spk_dim)
         cond: jnp.ndarray,  # (B, Lq, mel)
-        cache: dict,  # {'k','v': (depth, B, C, inner), 'tail1','tail2': (B, K-1, dim)}
-        lens: jnp.ndarray,  # (B,) frames already cached (write offset)
-        bias: jnp.ndarray,  # (B, Lq, C) additive f32 attention bias
+        cache: dict,  # {'k','v': (depth, B, heads, C, dh), 'tail1','tail2': (B, K-1, dim)} READ-ONLY
+        lens: jnp.ndarray,  # (B,) frames already cached (rotary offset)
+        bias_cache: jnp.ndarray,  # (B, Lq, C) f32 bias over cached slots
+        bias_new: jnp.ndarray,  # (B, Lq, Lq) f32 bias among the hop's frames
     ) -> tuple[jnp.ndarray, dict]:
+        """Returns (velocity, {'k','v': (depth, B, heads, Lq, dh) NEW rows,
+        'tail1','tail2': updated conv tails}) — the caller appends the new
+        rows at each row's write offset ONCE per hop (cfm_solve_chunk)."""
         c = self.cfg
         b, lq, _ = x.shape
         t_emb = TimestepEmbedding(c.dim, c.freq_embed_dim, name="time_embed")(t.astype(x.dtype))
@@ -271,7 +288,7 @@ class DiTChunk(nn.Module):
             out_axes=0,
         )
         (h, *_), new_kv = scan(c, name="blocks")(
-            (h, t_emb, lens, cos, sin, bias), {"k": cache["k"], "v": cache["v"]}
+            (h, t_emb, cos, sin, bias_cache, bias_new), {"k": cache["k"], "v": cache["v"]}
         )
 
         mod = nn.Dense(c.dim * 2, name="norm_out_linear", dtype=x.dtype)(nn.silu(t_emb))

@@ -76,6 +76,30 @@ def chunk_kv_bias(
     return mask_to_bias(allowed)
 
 
+def chunk_split_bias(
+    lens: jnp.ndarray,  # (B,) frames already cached per row
+    q_valid: jnp.ndarray,  # (B,) valid NEW frames this hop
+    lq: int,  # static new-frame count (rows may be partially valid)
+    cap: int,  # cache capacity (key axis)
+    chunk_size: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(bias_cache (B, lq, cap), bias_new (B, lq, lq)) for append-free
+    KV-cached chunk attention (the cache is read-only; the hop's own K/V
+    attend separately). Same allowed set as chunk_kv_bias: cached keys
+    [0, lens) are all in earlier-or-equal chunks of every valid query (hops
+    are chunk-aligned), so bias_cache only masks empty slots; bias_new
+    applies the chunk-causal + q_valid rule among the hop's own frames
+    at absolute positions lens+i (reference mask.py:224-230)."""
+    abs_q = lens[:, None] + jnp.arange(lq)[None, :]  # (B, lq)
+    front = (lens + q_valid)[:, None]
+    cap_q = jnp.minimum((abs_q // chunk_size + 1) * chunk_size, front)  # (B, lq)
+    key_pos = jnp.arange(cap)[None, None, :]
+    bias_cache = mask_to_bias(key_pos < jnp.minimum(cap_q, lens[:, None])[:, :, None])
+    abs_k = abs_q[:, None, :]  # (B, 1, lq) new keys at absolute positions
+    bias_new = mask_to_bias(abs_k < cap_q[:, :, None])
+    return bias_cache, bias_new
+
+
 def causal_mask(size: int) -> jnp.ndarray:
     """(size, size) lower-triangular bool mask."""
     q = lax.broadcasted_iota(jnp.int32, (size, size), 0)

@@ -19,7 +19,7 @@ from fangyan_tts_tpu.models.flow import (
     cfm_solve_chunk,
     empty_kv_cache,
 )
-from fangyan_tts_tpu.ops.masks import chunk_attn_mask, chunk_kv_bias
+from fangyan_tts_tpu.ops.masks import chunk_attn_mask, chunk_split_bias
 from fangyan_tts_tpu.utils.init import fast_init
 
 CH = 10  # static_chunk_size (mel frames); ratio 2 -> hop = 5 tokens
@@ -87,19 +87,25 @@ def test_dit_chunk_matches_full():
 
     dc = DiTChunk(cfg)
     cap, pad = 64, cfg.conv_pos_kernel - 1
-    inner = cfg.heads * cfg.dim_head
     cache = {
-        "k": jnp.zeros((cfg.depth, b, cap, inner), jnp.float32),
-        "v": jnp.zeros((cfg.depth, b, cap, inner), jnp.float32),
+        "k": jnp.zeros((cfg.depth, b, cfg.heads, cap, cfg.dim_head), jnp.float32),
+        "v": jnp.zeros((cfg.depth, b, cfg.heads, cap, cfg.dim_head), jnp.float32),
         "tail1": jnp.zeros((b, pad, cfg.dim), jnp.float32),
         "tail2": jnp.zeros((b, pad, cfg.dim), jnp.float32),
     }
+    append = jax.vmap(
+        lambda buf, rows, off: jax.lax.dynamic_update_slice(buf, rows, (0, 0, off, 0)),
+        in_axes=(1, 1, 0), out_axes=1,
+    )
     outs, lens = [], jnp.zeros((b,), jnp.int32)
     for s, e in [(0, 20), (20, 30), (30, 40), (40, 50)]:  # multi-chunk prefill + hops
         lq = e - s
-        bias = chunk_kv_bias(lens, jnp.full((b,), lq, jnp.int32), lq, cap, ch)
-        o, cache = dc.apply({"params": params}, x[:, s:e], mu[:, s:e], t, spks,
-                            cond[:, s:e], cache, lens, bias)
+        bc, bn = chunk_split_bias(lens, jnp.full((b,), lq, jnp.int32), lq, cap, ch)
+        o, new = dc.apply({"params": params}, x[:, s:e], mu[:, s:e], t, spks,
+                          cond[:, s:e], cache, lens, bc, bn)
+        cache = {"k": append(cache["k"], new["k"], lens),
+                 "v": append(cache["v"], new["v"], lens),
+                 "tail1": new["tail1"], "tail2": new["tail2"]}
         outs.append(o)
         lens = lens + lq
     np.testing.assert_allclose(np.asarray(jnp.concatenate(outs, axis=1)),
