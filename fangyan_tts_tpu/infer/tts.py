@@ -515,7 +515,14 @@ class CosyVoice3TTS:
                     lsched.open(text, prompt_text, llm_prompt_speech_token)
                 )
             else:
-                token_iter = self._stream_tokens(text, prompt_text, llm_prompt_speech_token)
+                ratios = {
+                    k: kwargs[k]
+                    for k in ("min_token_text_ratio", "max_token_text_ratio")
+                    if k in kwargs
+                }
+                token_iter = self._stream_tokens(
+                    text, prompt_text, llm_prompt_speech_token, **ratios
+                )
         else:
             token_iter = iter([np.asarray(source_speech_token, np.int32)])
 
