@@ -43,6 +43,115 @@ SILENT_TOKENS = (1, 2, 28, 29, 55, 248, 494, 2241, 2242, 2322, 2323)
 MAX_SILENT_RUN = 5
 
 
+class _TokenPrefetcher:
+    """One-chunk-ahead LLM token prefetch for the streaming loop.
+
+    Pulls the token iterator on a daemon thread so the NEXT decode chunk's
+    device calls dispatch while the current hop runs token2wav and fetches
+    its audio (~26 ms host sync on the tunneled backend) — pipeline overlap
+    between the two device-call chains. The reference gets the same overlap
+    from its llm_job thread + queue (cli/model.py:101-129); values and
+    ordering are unchanged, only dispatch timing moves.
+
+    The producer holds after the FIRST chunk until release() — otherwise
+    chunk-2 decode dispatches race the first hop's token2wav on the single
+    device stream and add ~30 ms to first-chunk latency. The consumer calls
+    release() once the first audio chunk is in hand.
+
+    close() stops the thread and closes the underlying generator (releasing
+    LLMScheduler slots when a client abandons the stream mid-utterance)."""
+
+    _END = object()
+
+    def __init__(self, it, depth: int = 2):
+        import queue
+        import threading
+
+        self._it = it
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._release = threading.Event()
+        self._exc: BaseException | None = None
+        self._got = 0
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _put(self, x) -> bool:
+        import queue
+
+        while not self._stop.is_set():
+            try:
+                self._q.put(x, timeout=0.05)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _run(self) -> None:
+        try:
+            for i, x in enumerate(self._it):
+                if not self._put(x):
+                    break
+                if i == 0:
+                    # hold before dispatching chunk 2's decode so the first
+                    # hop's token2wav wins the device stream (first-chunk
+                    # latency); released once the consumer has audio
+                    while not (self._release.wait(0.05) or self._stop.is_set()):
+                        continue
+                    if self._stop.is_set():
+                        break
+            else:
+                self._put(self._END)
+                return
+        except BaseException as e:  # noqa: BLE001 - relayed to the consumer
+            self._exc = e
+            self._put(self._END)
+            return
+        # stopped early: close the generator on ITS OWN thread (it is not
+        # executing here, so GeneratorExit lands cleanly and scheduler
+        # slots release)
+        close = getattr(self._it, "close", None)
+        if close is not None:
+            close()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        import queue
+
+        # consumer coming back for item 2+ means hop 1's device work is
+        # dispatched (or produced no audio yet) — safe to unblock the
+        # producer; avoids deadlock when the first chunk yields no audio
+        if self._got >= 1:
+            self._release.set()
+        self._got += 1
+        while True:
+            try:
+                x = self._q.get(timeout=0.1)
+                break
+            except queue.Empty:
+                if self._stop.is_set():
+                    raise StopIteration from None
+                continue
+        if x is self._END:
+            if self._exc is not None:
+                raise self._exc
+            raise StopIteration
+        return x
+
+    def release(self) -> None:
+        self._release.set()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._release.set()
+        self._thread.join(timeout=5.0)
+        # drain anything buffered so device arrays release promptly
+        while not self._q.empty():
+            self._q.get_nowait()
+
+
 def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
@@ -526,6 +635,15 @@ class CosyVoice3TTS:
         else:
             token_iter = iter([np.asarray(source_speech_token, np.int32)])
 
+        # One-chunk-ahead prefetch: LLM decode chunks for hop k+1 dispatch
+        # while hop k runs token2wav and fetches audio (the reference's
+        # llm_job-thread overlap, cli/model.py:101-129).
+        prefetch = None
+        if source_speech_token.shape[0] == 0 and not getattr(
+            self, "stream_no_prefetch", False
+        ):
+            token_iter = prefetch = _TokenPrefetcher(token_iter)
+
         # Constant-cost windowed streaming (infer/stream.py): the flow runs on
         # a capped window past `stream_window_tokens`, the vocoder decodes a
         # fixed 108-frame window with NSF phase carry — O(window) per hop and
@@ -534,26 +652,34 @@ class CosyVoice3TTS:
         # length. Sample-exact for the vocoder (tests/test_stream_scale.py).
         # With a StreamScheduler attached (enable_batched_streaming), hops of
         # concurrent requests batch through shared bs=N programs.
-        sched = getattr(self, "stream_scheduler", None)
-        if sched is not None:
-            h = sched.open(flow_prompt_speech_token, prompt_speech_feat, flow_embedding)
-            try:
-                for tok_chunk in token_iter:
-                    for chunk_audio in sched.feed(h, tok_chunk):
-                        yield {"tts_speech": chunk_audio}
-                yield {"tts_speech": sched.close(h)}
-            except GeneratorExit:
-                sched.close(h)  # consumer went away: free the slot
-                raise
-            return
+        try:
+            sched = getattr(self, "stream_scheduler", None)
+            if sched is not None:
+                h = sched.open(flow_prompt_speech_token, prompt_speech_feat, flow_embedding)
+                try:
+                    for tok_chunk in token_iter:
+                        for chunk_audio in sched.feed(h, tok_chunk):
+                            if prefetch is not None:
+                                prefetch.release()  # first audio in hand
+                            yield {"tts_speech": chunk_audio}
+                    yield {"tts_speech": sched.close(h)}
+                except GeneratorExit:
+                    sched.close(h)  # consumer went away: free the slot
+                    raise
+                return
 
-        from .stream import Token2WavSession
+            from .stream import Token2WavSession
 
-        sess = Token2WavSession(self, flow_prompt_speech_token, prompt_speech_feat, flow_embedding)
-        for tok_chunk in token_iter:
-            for chunk_audio in sess.push(tok_chunk):
-                yield {"tts_speech": chunk_audio}
-        yield {"tts_speech": sess.finish()}
+            sess = Token2WavSession(self, flow_prompt_speech_token, prompt_speech_feat, flow_embedding)
+            for tok_chunk in token_iter:
+                for chunk_audio in sess.push(tok_chunk):
+                    if prefetch is not None:
+                        prefetch.release()  # first audio in hand
+                    yield {"tts_speech": chunk_audio}
+            yield {"tts_speech": sess.finish()}
+        finally:
+            if prefetch is not None:
+                prefetch.close()
 
     def _stream_tokens(
         self,
