@@ -228,6 +228,31 @@ def bench_first_chunk(tts, rng) -> None:
     emit("streaming_first_chunk_ms", round(ms, 1), "ms", round(220.43 / ms, 3))
 
 
+def bench_solo_streaming(tts, rng) -> None:
+    """Solo (c=1) streaming end-to-end RTF: tts(stream=True) over a 320-token
+    (12.8 s) utterance — LLM chunked decode pipelined one chunk ahead of
+    KV-cached flow + windowed vocoder hops (_TokenPrefetcher overlap).
+    Baseline: reference streaming c=1 RTF 0.1237
+    (runtime/triton_trtllm/README.md:95-97)."""
+    text = rng.integers(0, 50000, (16,)).astype(np.int32)
+    emb = rng.standard_normal(192).astype(np.float32)
+
+    def run_once():
+        t0 = time.time()
+        n = 0
+        for ch in tts.tts(text=text, flow_embedding=emb, stream=True,
+                          min_token_text_ratio=20.0, max_token_text_ratio=20.0):
+            n += len(ch["tts_speech"])
+        return time.time() - t0, n / tts.cfg.sample_rate
+
+    run_once()  # warm the 320-token streaming ladder
+    wall, audio = min(run_once() for _ in range(3))
+    rtf = wall / audio
+    log(f"solo streaming e2e: {wall:.2f}s wall for {audio:.1f}s audio -> RTF {rtf:.4f} "
+        f"(reference c=1 0.1237)")
+    emit("streaming_solo_rtf", round(rtf, 4), "rtf", round(0.1237 / rtf, 3))
+
+
 def bench_async_streaming(tts, rng) -> None:
     """4 asynchronous client threads -> LLMScheduler continuous batching
     (shared decode chunks) + StreamScheduler dynamic batching (shared
@@ -447,6 +472,12 @@ def main() -> None:
         bench_first_chunk(tts, rng)
     except Exception as e:  # noqa: BLE001
         log(f"first chunk bench skipped: {e!r}")
+
+    # ---- solo streaming end-to-end RTF (reference c=1: 0.1243)
+    try:
+        bench_solo_streaming(tts, rng)
+    except Exception as e:  # noqa: BLE001
+        log(f"solo streaming bench skipped: {e!r}")
 
     # ---- async concurrent streaming (reference Triton c=4: RTF 0.0733)
     try:
