@@ -120,6 +120,10 @@ class DiTConfig:
     freq_embed_dim: int = 256
     conv_pos_kernel: int = 31
     conv_pos_groups: int = 16
+    # weight-only int8 block kernels (serving mode; set via
+    # CosyVoice3TTS.quantize_flow — the Euler solve re-reads every block
+    # weight per timestep, so hops are weight-bandwidth-bound like AR decode)
+    quant_int8: bool = False
 
 
 @dataclass(frozen=True)

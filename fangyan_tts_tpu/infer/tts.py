@@ -227,6 +227,30 @@ class CosyVoice3TTS:
         )
         self.llm = CosyVoice3LM(self.cfg.llm, dtype=self.dtype)
 
+    def quantize_flow(self) -> None:
+        """Switch the flow's DiT estimator to weight-only int8 (ops/quant.py
+        quantize_dit_params).
+
+        The CFG Euler solve re-reads all ~320M block params once per
+        timestep, so token2mel (offline and every streaming hop) is
+        weight-bandwidth-bound at serving batch sizes; int8 halves the HBM
+        bytes. Per-output-channel symmetric quant — mel error vs fp is
+        bounded by tests/test_quant.py. Idempotent. Call BEFORE any
+        streaming session/scheduler so programs lower once for the int8
+        param structure."""
+        from dataclasses import replace
+
+        if self.cfg.flow.dit.quant_int8:
+            return
+        from ..ops.quant import quantize_dit_params
+
+        self.flow_params = quantize_dit_params(self.flow_params)
+        self.cfg = replace(
+            self.cfg, flow=replace(self.cfg.flow, dit=replace(self.cfg.flow.dit, quant_int8=True))
+        )
+        self.flow = CausalMaskedDiffWithDiT(self.cfg.flow)
+        self._flow_jit = {}  # force re-lowering for the int8 param structure
+
     def enable_batched_llm(self, width: int = 4) -> None:
         """Continuous batching for streaming LLM decodes: concurrent
         requests' decode chunks run as ONE shared (width, ...) program with

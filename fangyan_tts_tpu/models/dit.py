@@ -31,6 +31,15 @@ import numpy as np
 from ..config import DiTConfig
 from ..ops.convs import conv1d
 from ..ops.masks import mask_to_bias
+from .qwen2 import QDense
+
+
+def _block_dense(c: DiTConfig, features: int, name: str) -> nn.Module:
+    """Per-block matmul kernel: nn.Dense-compatible fp params by default;
+    weight-only int8 when c.quant_int8 (QDense — the Euler solve streams
+    every block weight from HBM once per timestep, so streaming hops are
+    weight-bandwidth-bound; int8 halves the bytes, see ops/quant.py)."""
+    return QDense(features, use_bias=True, quant=c.quant_int8, name=name)
 
 
 def sinus_position_embedding(t: jnp.ndarray, dim: int, scale: float = 1000.0) -> jnp.ndarray:
@@ -114,9 +123,9 @@ class DiTAttention(nn.Module):
         c = self.cfg
         b, l, _ = x.shape
         inner = c.heads * c.dim_head
-        q = nn.Dense(inner, name="to_q", dtype=x.dtype)(x)
-        k = nn.Dense(inner, name="to_k", dtype=x.dtype)(x)
-        v = nn.Dense(inner, name="to_v", dtype=x.dtype)(x)
+        q = _block_dense(c, inner, "to_q")(x)
+        k = _block_dense(c, inner, "to_k")(x)
+        v = _block_dense(c, inner, "to_v")(x)
         q = _apply_rotary_pre_split(q, cos, sin)
         k = _apply_rotary_pre_split(k, cos, sin)
         q = q.reshape(b, l, c.heads, c.dim_head)
@@ -126,7 +135,7 @@ class DiTAttention(nn.Module):
         scores = scores.astype(jnp.float32) + attn_bias[:, None]
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, l, inner)
-        return nn.Dense(c.dim, name="to_out", dtype=x.dtype)(out)
+        return _block_dense(c, c.dim, "to_out")(out)
 
 
 class DiTBlock(nn.Module):
@@ -138,7 +147,7 @@ class DiTBlock(nn.Module):
         x, t_emb, attn_bias, cos, sin = carry
         c = self.cfg
         # AdaLN-Zero (modules.py:230-244)
-        mod = nn.Dense(c.dim * 6, name="attn_norm_linear", dtype=x.dtype)(nn.silu(t_emb))
+        mod = _block_dense(c, c.dim * 6, "attn_norm_linear")(nn.silu(t_emb))
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
         norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="attn_norm")(x)
         norm = norm * (1 + scale_msa[:, None]) + shift_msa[:, None]
@@ -146,9 +155,9 @@ class DiTBlock(nn.Module):
 
         ff_norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="ff_norm")(x)
         ff_norm = ff_norm * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
-        h = nn.Dense(c.dim * c.ff_mult, name="ff_0", dtype=x.dtype)(ff_norm)
+        h = _block_dense(c, c.dim * c.ff_mult, "ff_0")(ff_norm)
         h = nn.gelu(h, approximate=True)
-        h = nn.Dense(c.dim, name="ff_2", dtype=x.dtype)(h)
+        h = _block_dense(c, c.dim, "ff_2")(h)
         x = x + gate_mlp[:, None] * h
         return (x, t_emb, attn_bias, cos, sin), None
 
@@ -177,9 +186,9 @@ class DiTAttentionChunk(nn.Module):
         c = self.cfg
         b, lq, _ = x.shape
         inner = c.heads * c.dim_head
-        q = nn.Dense(inner, name="to_q", dtype=x.dtype)(x)
-        k = nn.Dense(inner, name="to_k", dtype=x.dtype)(x)
-        v = nn.Dense(inner, name="to_v", dtype=x.dtype)(x)
+        q = _block_dense(c, inner, "to_q")(x)
+        k = _block_dense(c, inner, "to_k")(x)
+        v = _block_dense(c, inner, "to_v")(x)
         q = _apply_rotary_pre_split(q, cos, sin)
         k = _apply_rotary_pre_split(k, cos, sin)
         qh = q.reshape(b, lq, c.heads, c.dim_head).transpose(0, 2, 1, 3)
@@ -197,7 +206,7 @@ class DiTAttentionChunk(nn.Module):
         out = (jnp.einsum("bhqk,bhkd->bhqd", probs[..., :cap], vh_c)
                + jnp.einsum("bhqk,bhkd->bhqd", probs[..., cap:], vh_n))
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
-        return nn.Dense(c.dim, name="to_out", dtype=x.dtype)(out), kh_n, vh_n
+        return _block_dense(c, c.dim, "to_out")(out), kh_n, vh_n
 
 
 class DiTBlockChunk(nn.Module):
@@ -212,7 +221,7 @@ class DiTBlockChunk(nn.Module):
     def __call__(self, carry, layer_cache):
         x, t_emb, cos, sin, bias_cache, bias_new = carry
         c = self.cfg
-        mod = nn.Dense(c.dim * 6, name="attn_norm_linear", dtype=x.dtype)(nn.silu(t_emb))
+        mod = _block_dense(c, c.dim * 6, "attn_norm_linear")(nn.silu(t_emb))
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
         norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="attn_norm")(x)
         norm = norm * (1 + scale_msa[:, None]) + shift_msa[:, None]
@@ -223,9 +232,9 @@ class DiTBlockChunk(nn.Module):
 
         ff_norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="ff_norm")(x)
         ff_norm = ff_norm * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
-        h = nn.Dense(c.dim * c.ff_mult, name="ff_0", dtype=x.dtype)(ff_norm)
+        h = _block_dense(c, c.dim * c.ff_mult, "ff_0")(ff_norm)
         h = nn.gelu(h, approximate=True)
-        h = nn.Dense(c.dim, name="ff_2", dtype=x.dtype)(h)
+        h = _block_dense(c, c.dim, "ff_2")(h)
         x = x + gate_mlp[:, None] * h
         return (x, t_emb, cos, sin, bias_cache, bias_new), {"k": k_new, "v": v_new}
 

@@ -131,3 +131,41 @@ def quantize_qwen_params(llm_params: Any, int4_mlp: bool = False) -> Any:
         return tree
 
     return walk(llm_params)
+
+
+_DIT_DENSE_NAMES = frozenset(
+    {"to_q", "to_k", "to_v", "to_out", "attn_norm_linear", "ff_0", "ff_2"}
+)
+
+
+def quantize_dit_params(flow_params: Any) -> Any:
+    """Flow fp params -> weight-only int8 DiT block kernels.
+
+    Rewrites the per-block Dense kernels of the `estimator` (DiT) subtree —
+    qkv/out, AdaLN modulation, feed-forward; stacked (L, in, out) under
+    nn.scan — to {'kernel_q' int8, 'scale' fp32}. Everything outside the
+    estimator (upsample encoder, length regulator, pre-lookahead conv) and
+    the estimator's small glue layers (input/output projections, timestep
+    MLP, conv position embedding) stay fp. Consumed by modules built with
+    DiTConfig(quant_int8=True) (dit.py _block_dense).
+
+    The CFG Euler solve re-reads every block weight once per timestep
+    (flow.py cfm_solve / cfm_solve_chunk), so token2mel — like AR decode —
+    is weight-bandwidth-bound at serving batch sizes; int8 halves the
+    streamed bytes.
+    """
+
+    def walk(tree: Any, name: str | None = None) -> Any:
+        if isinstance(tree, dict):
+            if name in _DIT_DENSE_NAMES and "kernel" in tree:
+                q, s = quantize_int8(tree["kernel"], axis=-2)
+                out = {"kernel_q": q, "scale": s}
+                if "bias" in tree:
+                    out["bias"] = tree["bias"]
+                return out
+            return {k: walk(v, k) for k, v in tree.items()}
+        return tree
+
+    return {
+        k: (walk(v) if k == "estimator" else v) for k, v in flow_params.items()
+    }

@@ -144,3 +144,63 @@ def test_quantized_decode_runs():
     n = int(res.num_tokens[0])
     toks = np.asarray(res.tokens)[0, :n]
     assert n >= 4 and (toks < cfg.speech_token_size).all() and (toks >= 0).all()
+
+
+def test_dit_quantized_forward_close():
+    """int8 DiT block kernels (quantize_dit_params + dit._block_dense) must
+    track the fp estimator closely — token2mel is the serving hot path."""
+    from fangyan_tts_tpu.config import DiTConfig
+    from fangyan_tts_tpu.models.dit import DiT
+    from fangyan_tts_tpu.ops.quant import quantize_dit_params
+
+    dc = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2,
+                   mel_dim=16, mu_dim=16, spk_dim=16, static_chunk_size=10,
+                   conv_pos_kernel=7, conv_pos_groups=4)
+    model = DiT(dc)
+    rng = np.random.default_rng(3)
+    B, L = 2, 20
+    x = jnp.asarray(rng.standard_normal((B, L, 16)), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((B, L, 16)), jnp.float32)
+    t = jnp.asarray([0.3, 0.7], jnp.float32)
+    spks = jnp.asarray(rng.standard_normal((B, 16)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((B, L, 16)), jnp.float32)
+    mask = jnp.ones((B, L, L), bool)
+    params = model.init(jax.random.PRNGKey(0), x, mu, t, spks, cond, mask)["params"]
+
+    qparams = quantize_dit_params({"estimator": params})["estimator"]
+    qmodel = DiT(dataclasses.replace(dc, quant_int8=True))
+
+    v = np.asarray(model.apply({"params": params}, x, mu, t, spks, cond, mask), np.float64)
+    vq = np.asarray(qmodel.apply({"params": qparams}, x, mu, t, spks, cond, mask), np.float64)
+    cos = (v * vq).sum() / (np.linalg.norm(v) * np.linalg.norm(vq))
+    assert cos > 0.999, cos
+
+
+def test_quantize_flow_full_pipeline_close():
+    """CosyVoice3TTS.quantize_flow: offline token2mel and the KV-cached
+    streaming path must still run and track fp mel closely after the
+    estimator params switch to int8."""
+    from tests.test_flow_kv import _tiny_tts
+
+    tts = _tiny_tts()
+    rng = np.random.default_rng(11)
+    tokens = rng.integers(0, 60, (40,)).astype(np.int32)
+    emb = rng.standard_normal(192).astype(np.float32)
+    p_tok = np.zeros(0, np.int32)
+    p_feat = np.zeros((0, 80), np.float32)
+
+    mel_fp = np.asarray(tts.token2mel(tokens, p_tok, p_feat, emb), np.float64)
+    tts.quantize_flow()
+    assert tts.cfg.flow.dit.quant_int8
+    tts.quantize_flow()  # idempotent
+    mel_q = np.asarray(tts.token2mel(tokens, p_tok, p_feat, emb), np.float64)
+    assert mel_fp.shape == mel_q.shape
+    cos = (mel_fp * mel_q).sum() / (np.linalg.norm(mel_fp) * np.linalg.norm(mel_q))
+    assert cos > 0.995, cos
+
+    # streaming smoke through the quantized flow programs
+    chunks = list(tts.tts(text=rng.integers(0, 100, (6,)).astype(np.int32),
+                          flow_embedding=emb, stream=True,
+                          min_token_text_ratio=5.0, max_token_text_ratio=5.0))
+    audio = np.concatenate([c["tts_speech"] for c in chunks])
+    assert np.isfinite(audio).all() and len(audio) > 0
