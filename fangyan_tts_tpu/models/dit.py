@@ -139,15 +139,26 @@ class DiTAttention(nn.Module):
 
 
 class DiTBlock(nn.Module):
+    """premod=True: the AdaLN-Zero modulation arrives per layer via scan xs
+    (precompute_mods — computed once for ALL timesteps x layers per solve,
+    so the Euler loop stops re-reading the 6*dim modulation kernels every
+    timestep: 41% of the block weight bytes). premod=False computes it
+    in-block from t_emb (the init/parity path; param paths identical —
+    the unused attn_norm_linear leaves are dead inputs under premod)."""
+
     cfg: DiTConfig
+    premod: bool = False
 
     @nn.compact
-    def __call__(self, carry, _=None):
+    def __call__(self, carry, xs=None):
         """Scan-compatible: carry = (x, t_emb, attn_bias, cos, sin)."""
         x, t_emb, attn_bias, cos, sin = carry
         c = self.cfg
         # AdaLN-Zero (modules.py:230-244)
-        mod = _block_dense(c, c.dim * 6, "attn_norm_linear")(nn.silu(t_emb))
+        if self.premod:
+            mod = xs  # (B, 6*dim) for this layer
+        else:
+            mod = _block_dense(c, c.dim * 6, "attn_norm_linear")(nn.silu(t_emb))
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
         norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="attn_norm")(x)
         norm = norm * (1 + scale_msa[:, None]) + shift_msa[:, None]
@@ -213,15 +224,21 @@ class DiTBlockChunk(nn.Module):
     """Scan-compatible KV-cached DiTBlock. carry = (x, t_emb, cos, sin,
     bias_cache, bias_new); xs = this layer's read-only {'k','v'} cache
     slice; ys = the hop's NEW {'k','v'} rows only (appended by the caller).
-    Param paths match DiTBlock (blocks/attn/..., blocks/ff_0, ...)."""
+    Param paths match DiTBlock (blocks/attn/..., blocks/ff_0, ...).
+    premod: see DiTBlock — xs becomes (layer_cache, mod)."""
 
     cfg: DiTConfig
+    premod: bool = False
 
     @nn.compact
-    def __call__(self, carry, layer_cache):
+    def __call__(self, carry, xs):
         x, t_emb, cos, sin, bias_cache, bias_new = carry
         c = self.cfg
-        mod = _block_dense(c, c.dim * 6, "attn_norm_linear")(nn.silu(t_emb))
+        if self.premod:
+            layer_cache, mod = xs
+        else:
+            layer_cache = xs
+            mod = _block_dense(c, c.dim * 6, "attn_norm_linear")(nn.silu(t_emb))
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
         norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="attn_norm")(x)
         norm = norm * (1 + scale_msa[:, None]) + shift_msa[:, None]
@@ -264,6 +281,7 @@ class DiTChunk(nn.Module):
         lens: jnp.ndarray,  # (B,) frames already cached (rotary offset)
         bias_cache: jnp.ndarray,  # (B, Lq, C) f32 bias over cached slots
         bias_new: jnp.ndarray,  # (B, Lq, Lq) f32 bias among the hop's frames
+        mods: jnp.ndarray | None = None,  # (depth, B, 6*dim) precomputed AdaLN
     ) -> tuple[jnp.ndarray, dict]:
         """Returns (velocity, {'k','v': (depth, B, heads, Lq, dh) NEW rows,
         'tail1','tail2': updated conv tails}) — the caller appends the new
@@ -296,8 +314,10 @@ class DiTChunk(nn.Module):
             in_axes=0,
             out_axes=0,
         )
-        (h, *_), new_kv = scan(c, name="blocks")(
-            (h, t_emb, cos, sin, bias_cache, bias_new), {"k": cache["k"], "v": cache["v"]}
+        layer_caches = {"k": cache["k"], "v": cache["v"]}
+        xs = layer_caches if mods is None else (layer_caches, mods)
+        (h, *_), new_kv = scan(c, mods is not None, name="blocks")(
+            (h, t_emb, cos, sin, bias_cache, bias_new), xs
         )
 
         mod = nn.Dense(c.dim * 2, name="norm_out_linear", dtype=x.dtype)(nn.silu(t_emb))
@@ -306,6 +326,35 @@ class DiTChunk(nn.Module):
         h = h * (1 + scale)[:, None] + shift[:, None]
         out = nn.Dense(c.mel_dim, name="proj_out", dtype=x.dtype)(h)
         return out, {"k": new_kv["k"], "v": new_kv["v"], "tail1": tail1, "tail2": tail2}
+
+
+def precompute_mods(cfg: DiTConfig, dit_params, t_all: jnp.ndarray, dtype) -> jnp.ndarray:
+    """AdaLN-Zero modulations for every (timestep, layer) in ONE pass.
+
+    t_all: (T, B) diffusion times for the whole Euler span. Returns
+    (T, depth, B, 6*dim) to feed DiT/DiTChunk's `mods` argument per step.
+
+    The modulation kernels (attn_norm_linear, 6*dim wide — 41% of the block
+    weight bytes) depend only on the timestep, not on x, so the solve can
+    read them ONCE per call instead of once per timestep x layer: measured
+    2.35 ms/timestep hop cost is dominated by this per-layer fixed work.
+    Mirrors TimestepEmbedding + DiTBlock's in-block computation exactly
+    (same params, same math — parity-checked in tests/test_flow_kv.py)."""
+    T, B = t_all.shape
+    te = dit_params["time_embed"]
+    h = sinus_position_embedding(t_all.reshape(-1), cfg.freq_embed_dim).astype(dtype)
+    h = h @ te["mlp_0"]["kernel"].astype(dtype) + te["mlp_0"]["bias"].astype(dtype)
+    h = nn.silu(h)
+    t_emb = h @ te["mlp_2"]["kernel"].astype(dtype) + te["mlp_2"]["bias"].astype(dtype)
+    s = nn.silu(t_emb).reshape(T, B, cfg.dim)
+    bm = dit_params["blocks"]["attn_norm_linear"]
+    if "kernel_q" in bm:  # weight-only int8 (ops/quant.py quantize_dit_params):
+        # convert fuses into the contraction; scale applies on the output
+        mods = jnp.einsum("tbd,ldm->tlbm", s, bm["kernel_q"].astype(dtype))
+        mods = mods * bm["scale"].astype(dtype)[None, :, None, :]
+    else:
+        mods = jnp.einsum("tbd,ldm->tlbm", s, bm["kernel"].astype(dtype))
+    return mods + bm["bias"].astype(dtype)[None, :, None, :]
 
 
 class DiT(nn.Module):
@@ -324,6 +373,7 @@ class DiT(nn.Module):
         spks: jnp.ndarray,  # (B, spk_dim)
         cond: jnp.ndarray,  # (B, L, mel) prompt-conditioning mel
         attn_mask: jnp.ndarray,  # (B, L, L) bool
+        mods: jnp.ndarray | None = None,  # (depth, B, 6*dim) precomputed AdaLN
     ) -> jnp.ndarray:
         c = self.cfg
         b, l, _ = x.shape
@@ -346,7 +396,7 @@ class DiT(nn.Module):
             split_rngs={"params": True},
             length=c.depth,
         )
-        (h, *_), _ = scan(c, name="blocks")((h, t_emb, bias, cos, sin), None)
+        (h, *_), _ = scan(c, mods is not None, name="blocks")((h, t_emb, bias, cos, sin), mods)
 
         # AdaLayerNormZero_Final (modules.py:251-265)
         mod = nn.Dense(c.dim * 2, name="norm_out_linear", dtype=x.dtype)(nn.silu(t_emb))

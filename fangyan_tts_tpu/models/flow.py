@@ -28,7 +28,7 @@ import numpy as np
 from ..config import FlowConfig
 from ..ops.convs import conv1d
 from ..ops.masks import chunk_attn_mask, chunk_split_bias
-from .dit import DiT, DiTChunk
+from .dit import DiT, DiTChunk, precompute_mods
 
 
 @functools.lru_cache(maxsize=1)
@@ -291,16 +291,21 @@ def cfm_solve(
 
     t_span = jnp.asarray(cosine_t_span(cfg.n_timesteps), z.dtype)
     ts, dts = t_span[:-1], t_span[1:] - t_span[:-1]
+    # AdaLN modulations for every (timestep, layer) in one pass — the Euler
+    # scan then reads only x-dependent weights per step (dit.precompute_mods)
+    all_mods = precompute_mods(
+        cfg.dit, dit_params, jnp.broadcast_to(ts[:, None], (ts.shape[0], 2 * b)), z.dtype
+    )
 
-    def step(x, t_dt):
-        t, dt = t_dt
+    def step(x, inp):
+        t, dt, mods = inp
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.full((2 * b,), t, x.dtype)
-        v = dit.apply({"params": dit_params}, x2, mu2, t2, spks2, cond2, mask2)
+        v = dit.apply({"params": dit_params}, x2, mu2, t2, spks2, cond2, mask2, mods)
         dphi = (1.0 + rate) * v[:b] - rate * v[b:]
         return x + dt * dphi, None
 
-    x, _ = jax.lax.scan(step, z, (ts, dts))
+    x, _ = jax.lax.scan(step, z, (ts, dts, all_mods))
     return x
 
 
@@ -356,18 +361,22 @@ def cfm_solve_chunk(
 
     t_span = jnp.asarray(cosine_t_span(cfg.n_timesteps), z.dtype)
     ts, dts = t_span[:-1], t_span[1:] - t_span[:-1]
+    # all (timestep, layer) AdaLN modulations in one pass (dit.precompute_mods)
+    all_mods = precompute_mods(
+        cfg.dit, dit_params, jnp.broadcast_to(ts[:, None], (ts.shape[0], 2 * b)), z.dtype
+    )
 
     def body(x, inp):
-        i, cache_t = inp  # cache timestep slice arrives as scan xs (no copy)
+        i, cache_t, mods = inp  # cache timestep slice arrives as scan xs (no copy)
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.full((2 * b,), ts[i], x.dtype)
         v, new_ct = dit.apply(
-            {"params": dit_params}, x2, mu2, t2, spks2, cond2, cache_t, lens2, bias_c2, bias_n2
+            {"params": dit_params}, x2, mu2, t2, spks2, cond2, cache_t, lens2, bias_c2, bias_n2, mods
         )
         x = x + dts[i] * ((1.0 + rate) * v[:b] - rate * v[b:])
         return x, new_ct
 
-    x, new = jax.lax.scan(body, z, (jnp.arange(cfg.n_timesteps), cache))
+    x, new = jax.lax.scan(body, z, (jnp.arange(cfg.n_timesteps), cache, all_mods))
     # new['k'/'v']: (T, depth, 2b, heads, lq, dh); tails: (T, 2b, pad, dim).
     # Append the new rows at each row's offset — one in-place write per hop.
     if b == 1:  # both CFG rows share the offset: one aliasing-friendly write
