@@ -199,9 +199,17 @@ def dit_estimator_params(sd: Mapping[str, Any], prefix: str, depth: int) -> dict
             {
                 "attn_norm_linear": _lin(sd, b + "attn_norm.linear"),
                 "attn": {
-                    "to_q": _lin(sd, b + "attn.to_q"),
-                    "to_k": _lin(sd, b + "attn.to_k"),
-                    "to_v": _lin(sd, b + "attn.to_v"),
+                    # fused qkv kernel (models/dit.py DiTAttention): the
+                    # reference's separate to_q/to_k/to_v concatenate on the
+                    # output axis
+                    "to_qkv": {
+                        "kernel": np.concatenate(
+                            [_lin(sd, b + f"attn.to_{n}")["kernel"] for n in "qkv"], axis=1
+                        ),
+                        "bias": np.concatenate(
+                            [_lin(sd, b + f"attn.to_{n}")["bias"] for n in "qkv"]
+                        ),
+                    },
                     "to_out": _lin(sd, b + "attn.to_out.0"),
                 },
                 "ff_0": _lin(sd, b + "ff.ff.0.0"),

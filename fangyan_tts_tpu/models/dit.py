@@ -123,9 +123,10 @@ class DiTAttention(nn.Module):
         c = self.cfg
         b, l, _ = x.shape
         inner = c.heads * c.dim_head
-        q = _block_dense(c, inner, "to_q")(x)
-        k = _block_dense(c, inner, "to_k")(x)
-        v = _block_dense(c, inner, "to_v")(x)
+        # fused qkv: one matmul instead of three (each small-M matmul on the
+        # hop shapes carries a fixed ~4us dispatch cost; the converter
+        # concatenates the reference's to_q/to_k/to_v kernels)
+        q, k, v = jnp.split(_block_dense(c, 3 * inner, "to_qkv")(x), 3, axis=-1)
         q = _apply_rotary_pre_split(q, cos, sin)
         k = _apply_rotary_pre_split(k, cos, sin)
         q = q.reshape(b, l, c.heads, c.dim_head)
@@ -197,9 +198,7 @@ class DiTAttentionChunk(nn.Module):
         c = self.cfg
         b, lq, _ = x.shape
         inner = c.heads * c.dim_head
-        q = _block_dense(c, inner, "to_q")(x)
-        k = _block_dense(c, inner, "to_k")(x)
-        v = _block_dense(c, inner, "to_v")(x)
+        q, k, v = jnp.split(_block_dense(c, 3 * inner, "to_qkv")(x), 3, axis=-1)
         q = _apply_rotary_pre_split(q, cos, sin)
         k = _apply_rotary_pre_split(k, cos, sin)
         qh = q.reshape(b, lq, c.heads, c.dim_head).transpose(0, 2, 1, 3)

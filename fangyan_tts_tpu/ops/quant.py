@@ -134,7 +134,7 @@ def quantize_qwen_params(llm_params: Any, int4_mlp: bool = False) -> Any:
 
 
 _DIT_DENSE_NAMES = frozenset(
-    {"to_q", "to_k", "to_v", "to_out", "attn_norm_linear", "ff_0", "ff_2"}
+    {"to_qkv", "to_out", "attn_norm_linear", "ff_0", "ff_2"}
 )
 
 

@@ -38,12 +38,17 @@ _TP_RULES: list[tuple[str, P]] = [
     (r"mlp/down_proj/kernel(_q)?$", P("tp", None)),
     (r"mlp/down_proj/scale$", P()),
     (r"llm_decoder/kernel$", P(None, "tp")),
-    # DiT attention / ff
-    (r"attn/to_(q|k|v)/kernel$", P(None, "tp")),
-    (r"attn/to_(q|k|v)/bias$", P("tp")),
-    (r"attn/to_out/kernel$", P("tp", None)),
-    (r"ff_0/kernel$", P(None, "tp")),
-    (r"ff_2/kernel$", P("tp", None)),
+    # DiT attention / ff (kernel_q/scale cover the int8 serving layout;
+    # to_qkv column-shards like the Qwen qkv_proj — GSPMD reshards the
+    # post-matmul split, equality validated in tests/test_mesh_sharding.py)
+    (r"attn/to_qkv/kernel(_q)?$", P(None, "tp")),
+    (r"attn/to_qkv/(bias|scale)$", P("tp")),
+    (r"attn/to_out/kernel(_q)?$", P("tp", None)),
+    (r"attn/to_out/(bias|scale)$", P()),
+    (r"ff_0/kernel(_q)?$", P(None, "tp")),
+    (r"ff_0/(bias|scale)$", P("tp")),
+    (r"ff_2/kernel(_q)?$", P("tp", None)),
+    (r"ff_2/(bias|scale)$", P()),
 ]
 
 _FSDP_MIN_SIZE = 2**16  # don't bother sharding tiny tensors
