@@ -145,9 +145,16 @@ class VocStream:
 
     # -- session API --------------------------------------------------------
 
-    def push(self, mel_h: jnp.ndarray) -> np.ndarray | None:
+    def push(self, mel_h: jnp.ndarray) -> np.ndarray:
         """mel_h: (1, H, 80) device mel on the 50-frame grid. Returns the new
-        audio chunk (np.float32) or None (nothing emitted this push)."""
+        audio chunk (np.float32)."""
+        return np.asarray(self.push_dev(mel_h))
+
+    def push_dev(self, mel_h: jnp.ndarray) -> jnp.ndarray:
+        """push, but returns the DEVICE audio chunk with an async D2H copy
+        already started — the caller can dispatch the next hop before
+        materializing it, hiding the ~26 ms fetch roundtrip behind device
+        compute (infer/tts.py one-hop audio pipeline)."""
         self.k += 1
         H, LA = self.H, self.LA
         if self.k == 1:
@@ -164,7 +171,11 @@ class VocStream:
             jnp.asarray(off, jnp.int32), self._noise_buf(),
         )
         new_total = {1: H - LA, 2: 2 * H - LA, 3: 2 * H}.get(self.k, (self.k - 1) * H)
-        chunk = np.asarray(audio.astype(jnp.float32))[0]
+        chunk = audio.astype(jnp.float32)[0]
+        try:
+            chunk.copy_to_host_async()
+        except Exception:  # noqa: BLE001 - backend without async D2H: fetch syncs later
+            pass
         self.emitted = new_total
         return chunk
 
@@ -547,6 +558,12 @@ class Token2WavSession:
     def push(self, new_tokens: np.ndarray) -> list[np.ndarray]:
         """Feed newly-decoded speech tokens; returns audio chunks that became
         ready (possibly empty)."""
+        return [np.asarray(a) for a in self.push_dev(new_tokens)]
+
+    def push_dev(self, new_tokens: np.ndarray) -> list[jnp.ndarray]:
+        """push, but returns DEVICE audio chunks with async D2H copies
+        started (VocStream.push_dev) — lets the caller pipeline the fetch
+        of hop k behind hop k+1's dispatch (infer/tts.py)."""
         self.tokens = np.concatenate([self.tokens, np.asarray(new_tokens, np.int32)])
         out = []
         while True:
@@ -555,7 +572,7 @@ class Token2WavSession:
                 return out
             mel_h = self.fs.step(self.tokens)
             self.token_offset += this_hop
-            audio = self.vs.push(mel_h)
+            audio = self.vs.push_dev(mel_h)
             if audio is not None and len(audio):
                 out.append(audio)
 

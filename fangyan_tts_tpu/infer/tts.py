@@ -695,11 +695,25 @@ class CosyVoice3TTS:
             from .stream import Token2WavSession
 
             sess = Token2WavSession(self, flow_prompt_speech_token, prompt_speech_feat, flow_embedding)
+            # One-hop audio pipeline: hop k's ~26 ms D2H fetch materializes
+            # only after hop k+1's device work is dispatched, so the fetch
+            # roundtrip rides under device compute. The FIRST chunk is
+            # fetched immediately (first-chunk latency unchanged).
+            pending = None
+            emitted = 0
             for tok_chunk in token_iter:
-                for chunk_audio in sess.push(tok_chunk):
-                    if prefetch is not None:
-                        prefetch.release()  # first audio in hand
-                    yield {"tts_speech": chunk_audio}
+                for dev in sess.push_dev(tok_chunk):
+                    if emitted == 0:
+                        if prefetch is not None:
+                            prefetch.release()  # first audio in hand
+                        yield {"tts_speech": np.asarray(dev)}
+                    else:
+                        if pending is not None:
+                            yield {"tts_speech": np.asarray(pending)}
+                        pending = dev
+                    emitted += 1
+            if pending is not None:
+                yield {"tts_speech": np.asarray(pending)}
             yield {"tts_speech": sess.finish()}
         finally:
             if prefetch is not None:
