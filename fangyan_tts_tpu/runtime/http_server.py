@@ -29,6 +29,21 @@ _model = None
 _model_lock = threading.Lock()
 
 
+def _concurrent_ok() -> bool:
+    """Concurrent generator consumption is safe (and desired) when the
+    pipeline batches concurrent work through its schedulers: StreamScheduler
+    dynamic-batches token2wav hops and LLMScheduler continuous-batches decode
+    chunks, both internally locked. Holding _model_lock across the whole
+    stream would serialize clients end-to-end and the schedulers would never
+    see concurrent hops — the dynamic-batching win only exists outside the
+    lock. Without schedulers, solo per-session state machines stay fully
+    serialized (reference fastapi server is likewise one-at-a-time,
+    runtime/python/fastapi/server.py)."""
+    pipe = getattr(_model, "model", None) or getattr(_model, "tts", None) or _model
+    return getattr(pipe, "stream_scheduler", None) is not None or \
+        getattr(pipe, "llm_scheduler", None) is not None
+
+
 def _parse_multipart(body: bytes, content_type: str) -> dict:
     """Minimal multipart/form-data parser (fields + file contents)."""
     m = re.search(r'boundary="?([^";]+)"?', content_type)
@@ -98,29 +113,35 @@ class TTSHandler(BaseHTTPRequestHandler):
         f = self._fields()
         self._tmp_paths: list[str] = []
         try:
-            with _model_lock:
-                if route == "/inference_sft":
-                    gen = _model.inference_sft(f["tts_text"], f["spk_id"])
-                elif route == "/inference_zero_shot":
-                    gen = _model.inference_zero_shot(f["tts_text"], f.get("prompt_text", ""), self._prompt_file(f))
-                elif route == "/inference_cross_lingual":
-                    gen = _model.inference_cross_lingual(f["tts_text"], self._prompt_file(f))
-                elif route == "/inference_instruct":
-                    gen = _model.inference_instruct(f["tts_text"], f["spk_id"], f["instruct_text"])
-                elif route == "/inference_instruct2":
-                    gen = _model.inference_instruct2(f["tts_text"], f["instruct_text"], self._prompt_file(f))
-                elif route == "/health":
-                    body = b'{"status": "ok"}'
-                    self.send_response(200)
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
-                    return
-                else:
-                    self.send_error(404, f"unknown route {route}")
-                    return
+            if route == "/inference_sft":
+                gen = _model.inference_sft(f["tts_text"], f["spk_id"])
+            elif route == "/inference_zero_shot":
+                gen = _model.inference_zero_shot(f["tts_text"], f.get("prompt_text", ""), self._prompt_file(f))
+            elif route == "/inference_cross_lingual":
+                gen = _model.inference_cross_lingual(f["tts_text"], self._prompt_file(f))
+            elif route == "/inference_instruct":
+                gen = _model.inference_instruct(f["tts_text"], f["spk_id"], f["instruct_text"])
+            elif route == "/inference_instruct2":
+                gen = _model.inference_instruct2(f["tts_text"], f["instruct_text"], self._prompt_file(f))
+            elif route == "/health":
+                body = b'{"status": "ok"}'
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            else:
+                self.send_error(404, f"unknown route {route}")
+                return
+            # all API methods are lazy generators — the model work happens
+            # during _stream, so the lock placement here decides whether
+            # clients serialize (solo sessions) or batch (schedulers)
+            if _concurrent_ok():
                 self._stream(gen)
+            else:
+                with _model_lock:
+                    self._stream(gen)
         except (KeyError, ValueError, AssertionError, NotImplementedError, AttributeError) as e:
             self.send_error(400, f"{type(e).__name__}: {e}")
         finally:

@@ -133,12 +133,16 @@ def test_grpc_server_roundtrip(tiny_model):
 @pytest.mark.slow
 def test_http_concurrent_batched_streams(tiny_model):
     """Two concurrent streaming requests over real sockets with batched
-    streaming enabled: the scheduler batches their hops; both clients get
-    complete, finite audio."""
+    streaming enabled: both clients get complete, finite audio AND their
+    streams actually overlap in time — the handler must consume generators
+    OUTSIDE the model lock when schedulers are enabled, or the scheduler
+    never sees concurrent hops and clients serialize end-to-end."""
+    import time
+
     from fangyan_tts_tpu.runtime.http_server import serve
 
     rng = np.random.default_rng(3)
-    toks = rng.integers(0, 50, size=90).astype(np.int32)
+    toks = rng.integers(0, 50, size=200).astype(np.int32)
 
     def streaming_sft(tts_text, spk_id):
         yield from tiny_model.tts.tts(
@@ -156,17 +160,43 @@ def test_http_concurrent_batched_streams(tiny_model):
     t.start()
     try:
         results = [None, None]
+        first_t = [None, None]
+        last_t = [None, None]
 
         def fetch(i):
             url = f"http://127.0.0.1:{port}/inference_sft?tts_text=x&spk_id=s{i}"
+            buf = b""
             with urllib.request.urlopen(url, timeout=300) as resp:
-                results[i] = np.frombuffer(resp.read(), dtype="<i2")
+                while True:
+                    chunk = resp.read(4096)
+                    if not chunk:
+                        break
+                    if first_t[i] is None:
+                        first_t[i] = time.monotonic()
+                    last_t[i] = time.monotonic()
+                    buf += chunk
+            results[i] = np.frombuffer(buf, dtype="<i2")
 
+        # warm pass: create the group + compile its ladder so the concurrent
+        # pair below contends only on scheduling, not on first-build compiles
+        fetch(0)
+        sched = tiny_model.tts.stream_scheduler
+        steps0, rows0 = sched.stats["steps"], sched.stats["rows"]
+        first_t = [None, None]
+        last_t = [None, None]
         ts = [threading.Thread(target=fetch, args=(i,)) for i in range(2)]
         [th.start() for th in ts]
         [th.join() for th in ts]
         for r in results:
             assert r is not None and len(r) == len(toks) * 2 * 480
+        # real concurrency: some batched steps must have advanced BOTH
+        # sessions (rows > steps). A handler that held the model lock across
+        # the whole stream would serialize the clients end-to-end and every
+        # step would carry exactly one row.
+        steps = sched.stats["steps"] - steps0
+        rows = sched.stats["rows"] - rows0
+        assert rows > steps, f"no hop batching over HTTP: rows={rows} steps={steps}"
+        _ = first_t, last_t  # kept for debugging flaky runs
     finally:
         server.shutdown()
         tiny_model.inference_sft = orig
