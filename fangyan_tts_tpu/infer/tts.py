@@ -602,7 +602,14 @@ class CosyVoice3TTS:
                 )
                 tokens = suppress_silent_runs(tokens)
             elif source_speech_token.shape[0] == 0:
-                tokens = self.generate_tokens(text, prompt_text, llm_prompt_speech_token)
+                ratios = {
+                    k: kwargs[k]
+                    for k in ("min_token_text_ratio", "max_token_text_ratio")
+                    if k in kwargs
+                }
+                tokens = self.generate_tokens(
+                    text, prompt_text, llm_prompt_speech_token, **ratios
+                )
             else:
                 tokens = np.asarray(source_speech_token, np.int32)  # vc_job (model.py:131-133)
             # mel stays on device and chains straight into the vocoder (one
@@ -640,19 +647,19 @@ class CosyVoice3TTS:
 
             token_iter = _bistream_iter()
         elif source_speech_token.shape[0] == 0:
+            ratios = {
+                k: kwargs[k]
+                for k in ("min_token_text_ratio", "max_token_text_ratio")
+                if k in kwargs
+            }
             lsched = getattr(self, "llm_scheduler", None)
             if lsched is not None:
                 # continuous batching: concurrent requests' decodes share
                 # one chunk program (infer/llm_batch.py)
                 token_iter = lsched.stream(
-                    lsched.open(text, prompt_text, llm_prompt_speech_token)
+                    lsched.open(text, prompt_text, llm_prompt_speech_token, **ratios)
                 )
             else:
-                ratios = {
-                    k: kwargs[k]
-                    for k in ("min_token_text_ratio", "max_token_text_ratio")
-                    if k in kwargs
-                }
                 token_iter = self._stream_tokens(
                     text, prompt_text, llm_prompt_speech_token, **ratios
                 )
