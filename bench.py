@@ -53,7 +53,6 @@ def emit(metric: str, value: float, unit: str, vs_baseline: float, **extra) -> N
 
 
 def _write_wav(path, audio: np.ndarray, sr: int = 16000) -> None:
-    import struct
     import wave
 
     pcm = np.clip(audio * 32767.0, -32768, 32767).astype("<i2")
@@ -62,7 +61,6 @@ def _write_wav(path, audio: np.ndarray, sr: int = 16000) -> None:
         w.setsampwidth(2)
         w.setframerate(sr)
         w.writeframes(pcm.tobytes())
-    _ = struct  # keep import local
 
 
 def bench_data_prep(rng) -> None:

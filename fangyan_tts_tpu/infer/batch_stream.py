@@ -230,6 +230,7 @@ class BatchedStreamGroup:
         s = Token2WavSession(self.t, self.fs[0].prompt_tokens,
                              np.asarray(self.pf[0], np.float32),
                              np.asarray(self.emb[0], np.float32))
+        s.fs.kv = False  # group slots run kv=False (line 65); warm THAT path
         s.push(np.zeros(self.W + 3 * self.hop, np.int32))
         s.finish()
 
@@ -511,15 +512,20 @@ class StreamScheduler:
         (np array slot assignment is atomic; step reads each slot once)."""
         try:
             all_chunks = []
+            steps = 0
             while True:
                 chunks = g.step()
                 if not chunks:
                     break
-                self.stats["steps"] += 1
-                self.stats["rows"] += len(chunks)
+                steps += 1
                 all_chunks.extend(chunks)
         finally:
             with g._cond:
+                # stats is scheduler-global: leaders of DIFFERENT groups
+                # would interleave the read-modify-write under g._cond alone
+                with self._lock:
+                    self.stats["steps"] += steps
+                    self.stats["rows"] += len(all_chunks)
                 self._distribute(g, all_chunks)
                 g._stepping = False
                 g._cond.notify_all()

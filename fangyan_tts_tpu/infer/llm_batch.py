@@ -25,10 +25,9 @@ import jax.numpy as jnp
 
 from ..data.lm_plan import build_prompt_plan, pad_plans_left
 from ..models.llm import cont_empty, cont_insert_rows, decode_chunk_cont, decode_prefill
-
-
-def _round_up(n: int, m: int) -> int:
-    return (n + m - 1) // m * m
+# open()'s tp/cache_len formulas must stay byte-identical to
+# _stream_tokens' so both paths land in the same compile-cache buckets
+from .tts import _round_up
 
 
 class _Group:
@@ -142,7 +141,18 @@ class LLMScheduler:
         t = self.t
         g.collecting = True
         try:
-            deadline = time.monotonic() + self.prefill_window_s
+            # solo-leaning fast-path (cousin of StreamScheduler.feed's
+            # single-owner skip): with no other open session in the
+            # scheduler and only our own request pending, a full window is
+            # almost certainly dead time at c=1 — shrink it to a short
+            # grace that still absorbs simultaneous-arrival thread jitter
+            # (a burst of opens on an idle scheduler should share one
+            # aligned prefill, not split 1+N-1)
+            with self._lock:
+                alone = not self.sessions
+            window = min(0.005, self.prefill_window_s) if (alone and len(g.pending) <= 1) \
+                else self.prefill_window_s
+            deadline = time.monotonic() + window
             while len(g.pending) < len(g.free):
                 rem = deadline - time.monotonic()
                 if rem <= 0:

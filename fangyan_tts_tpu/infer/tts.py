@@ -23,6 +23,7 @@ TPU-first differences from the reference's thread+queue design:
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Generator
@@ -174,6 +175,7 @@ class CosyVoice3TTS:
         self.flow = CausalMaskedDiffWithDiT(self.cfg.flow)
         self.hift = CausalHiFT(self.cfg.hift)
         self._key = jax.random.PRNGKey(self.seed)
+        self._key_lock = threading.Lock()
         self._flow_jit = {}
         self._hift_jit = {}
         # compute-dtype params: fp32 matmuls are pathologically slow on TPU
@@ -201,7 +203,10 @@ class CosyVoice3TTS:
         return cls(cfg, llm_p, flow_p, hift_p, dtype=dtype)
 
     def next_key(self) -> jax.Array:
-        self._key, k = jax.random.split(self._key)
+        # concurrent server threads (schedulers bypass the model lock) must
+        # not read the same chain state: identical keys => identical samples
+        with self._key_lock:
+            self._key, k = jax.random.split(self._key)
         return k
 
     def quantize_llm(self, int4_mlp: bool = False) -> None:

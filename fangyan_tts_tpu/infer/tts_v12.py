@@ -24,6 +24,7 @@ TPU-first notes (mirroring infer/tts.py):
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 from typing import Any, Generator
 
@@ -135,6 +136,7 @@ class CosyVoice2TTS(_HiFTVocoderMixin):
         self.llm = Qwen2LMV2(self.llm_cfg, dtype=self.dtype)
         self.hift = HiFT(self.hift_cfg)
         self._key = jax.random.PRNGKey(self.seed)
+        self._key_lock = threading.Lock()
         self._jit = {}
         self.flow_params = _cast_params(self.flow_params, self.dtype)
         self.hift_params = _cast_params(self.hift_params, self.dtype, keep_f32=("f0_predictor",))
@@ -158,7 +160,8 @@ class CosyVoice2TTS(_HiFTVocoderMixin):
         return cls(llm_cfg, llm_p, flow, flow_p, hift_cfg, hift_p, dtype=dtype)
 
     def next_key(self) -> jax.Array:
-        self._key, k = jax.random.split(self._key)
+        with self._key_lock:
+            self._key, k = jax.random.split(self._key)
         return k
 
     def enable_batched_llm(self, width: int = 4) -> None:
@@ -402,6 +405,7 @@ class CosyVoiceV1TTS(_HiFTVocoderMixin):
     def __post_init__(self):
         self.hift = HiFT(self.hift_cfg)
         self._key = jax.random.PRNGKey(self.seed)
+        self._key_lock = threading.Lock()
         self._jit = {}
         self.flow_params = _cast_params(self.flow_params, self.dtype)
         self.hift_params = _cast_params(self.hift_params, self.dtype, keep_f32=("f0_predictor",))
@@ -438,7 +442,8 @@ class CosyVoiceV1TTS(_HiFTVocoderMixin):
         return cls(llm, llm_p, flow, flow_p, hift_cfg, hift_p, dtype=dtype)
 
     def next_key(self) -> jax.Array:
-        self._key, k = jax.random.split(self._key)
+        with self._key_lock:
+            self._key, k = jax.random.split(self._key)
         return k
 
     def _mel_len2(self, n_tokens: int) -> int:

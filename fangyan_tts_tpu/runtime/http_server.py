@@ -187,9 +187,11 @@ def main(argv=None) -> None:
     from ..api import AutoModel
 
     model = AutoModel(model_dir=args.model_dir, quant_int8=args.quant_int8)
-    if args.batched_streams and hasattr(model.model, "enable_batched_streaming"):
-        model.model.enable_batched_streaming(args.batched_streams)
-        # continuous batching for the LLM stage too (infer/llm_batch.py)
+    if args.batched_streams:
+        # the two schedulers are independent: v3 has both, v2 only the LLM
+        # continuous batching (infer/llm_batch.py) — enable whichever exists
+        if hasattr(model.model, "enable_batched_streaming"):
+            model.model.enable_batched_streaming(args.batched_streams)
         if hasattr(model.model, "enable_batched_llm"):
             model.model.enable_batched_llm(args.batched_streams)
     for plen in args.warmup_prompt_lens or []:
