@@ -64,17 +64,31 @@ def decode_filter(
     min_length: int = 100,
     token_max_length: int = 200,
     token_min_length: int = 1,
+    decode_audio: bool = True,
 ) -> Iterator[dict]:
     """Decode audio bytes + apply the length gates (processor.py:53-104).
-    Lengths are in 10ms frames like the reference."""
+    Lengths are in 10ms frames like the reference.
+
+    decode_audio=False reads only the WAV header for the duration gate —
+    the LLM pipeline never touches the samples (its collate uses
+    text/speech tokens + embedding only), and sample decode + resample
+    dominate its host time. Gate decisions are identical either way."""
+    import wave
+
     for s in data:
         try:
-            speech, sr = read_wav(BytesIO(s["audio_data"]))
+            if decode_audio:
+                speech, sr = read_wav(BytesIO(s["audio_data"]))
+                n = len(speech)
+                s["speech"] = speech
+            else:
+                with wave.open(BytesIO(s["audio_data"]), "rb") as w:
+                    sr, n = w.getframerate(), w.getnframes()
         except Exception:  # noqa: BLE001 - non-wav container: skip (prep converts to wav)
             continue
         del s["audio_data"]
-        s["speech"], s["sample_rate"] = speech, sr
-        num_frames = len(speech) / sr * 100
+        s["sample_rate"] = sr
+        num_frames = n / sr * 100
         if not (min_length <= num_frames <= max_length):
             continue
         if not (token_min_length <= len(s["text_token"]) <= token_max_length):
@@ -100,11 +114,13 @@ def resample(data: Iterator[dict], resample_rate: int = 24000, min_sample_rate: 
         if s["sample_rate"] != resample_rate:
             if s["sample_rate"] < min_sample_rate:
                 continue
-            s["speech"] = resample_poly(s["speech"], s["sample_rate"], resample_rate)
+            if "speech" in s:
+                s["speech"] = resample_poly(s["speech"], s["sample_rate"], resample_rate)
             s["sample_rate"] = resample_rate
-        peak = np.abs(s["speech"]).max()
-        if peak > 1.0:
-            s["speech"] = s["speech"] / peak * 0.9
+        if "speech" in s:  # header-only rows (llm mode) carry no samples
+            peak = np.abs(s["speech"]).max()
+            if peak > 1.0:
+                s["speech"] = s["speech"] / peak * 0.9
         yield s
 
 
@@ -261,7 +277,9 @@ def build_pipeline(
 
     it: Any = parquet_opener(shards)
     it = tokenize(it, tokenizer)
-    it = decode_filter(it)
+    # llm collate never reads samples: header-only duration gating skips
+    # the decode + scipy resample that dominate the llm pipeline's host time
+    it = decode_filter(it, decode_audio=(mode != "llm"))
     it = resample(it)
     if mode == "hifigan":
         it = truncate(it)
