@@ -462,6 +462,33 @@ class FlowStream:
         self._kv_held = x[:, self.H - hb :]
         return mel_h
 
+    def step_first_dev(self, tok_dev: jnp.ndarray) -> jnp.ndarray | None:
+        """Speculative hop 1 on a DEVICE token buffer (the raw LLM chunk,
+        silent-suppression NOT yet applied): dispatches the same kv-prefill
+        program as `step` without waiting for the token fetch, so the flow
+        and vocoder compute overlap the ~26 ms D2H roundtrip of the LLM
+        chunk. The caller must validate the fetched tokens afterwards
+        (Token2WavSession.commit_first / reset). Returns (1, H, 80) device
+        mel, or None when this stream can't speculate."""
+        assert self.hops_done == 0
+        consumed = self.hop + self.pad
+        if not self.kv or consumed - self.W >= 0 or tok_dev.shape[0] < consumed + self.la:
+            return None
+        lq0 = self.P_mel + consumed * self.ratio
+        self._kv_cap = self._kv_ladder(lq0 + self.H)
+        self._kv_cache = empty_kv_cache(self.t.cfg.flow, 2, self._kv_cap, self.t.dtype)
+        tok = tok_dev[: consumed + self.la].astype(jnp.int32)
+        if self.P:
+            tok = jnp.concatenate([jnp.asarray(self.prompt_tokens), tok])
+        x, self._kv_cache, self._kv_spks = self._kv_prefill_fn()(
+            self.t.flow_params, self._kv_cache, tok[None],
+            self.prompt_feat, self.pf_len, self.emb, self._noise_buf(),
+        )
+        self._kv_len = lq0
+        mel_h, self._kv_held = x[:, : self.H], x[:, self.H :]
+        self.hops_done = 1
+        return mel_h
+
     def step(self, tokens: np.ndarray) -> jnp.ndarray:
         """One hop. tokens: ALL target tokens so far (host). Consumes the next
         hop (hop 1 additionally absorbs prompt_pad) and returns exactly
@@ -547,13 +574,50 @@ class Token2WavSession:
         c = tts.cfg
         self.hop = c.chunk_size
         self.la = c.flow.pre_lookahead_len
-        prompt_token = np.asarray(prompt_token, np.int32)
+        self._init_args = (tts, np.asarray(prompt_token, np.int32), prompt_feat, embedding)
+        self.reset()
+
+    def reset(self) -> None:
+        """(Re-)initialize the session state machines. Used at construction
+        and to roll back a failed first-hop speculation — the flow noise and
+        vocoder noise/phase are absolute-indexed, so a replay from fresh
+        state is byte-identical to never having speculated."""
+        tts, prompt_token, prompt_feat, embedding = self._init_args
         self.prompt_pad = -len(prompt_token) % self.hop
         self.fs = FlowStream(tts, prompt_token, prompt_feat, embedding, self.prompt_pad)
         self.vs = VocStream(tts)
         self.tokens = np.zeros(0, np.int32)
         self.token_offset = 0
         self.finished = False
+
+    @property
+    def first_hop_tokens(self) -> int:
+        """Tokens the first hop consumes + lookahead (speculation window)."""
+        return self.hop + self.prompt_pad + self.la
+
+    def speculate_first(self, raw_dev: jnp.ndarray) -> jnp.ndarray | None:
+        """Dispatch the FIRST hop (flow kv-prefill + vocoder push) on the raw
+        device token chunk straight out of the LLM, before the host has seen
+        the token values — the flow/vocoder compute then overlaps the token
+        fetch roundtrip. Returns the device audio chunk (async D2H started),
+        or None if this session can't speculate. The caller MUST then either
+        commit_first(suppressed_tokens) — after checking the suppressed
+        stream's first `first_hop_tokens` match the raw chunk — or reset()."""
+        if self.finished or self.token_offset or len(self.tokens):
+            return None
+        mel_h = self.fs.step_first_dev(raw_dev)
+        if mel_h is None:
+            return None
+        return self.vs.push_dev(mel_h)
+
+    def commit_first(self, first_tokens: np.ndarray) -> list[jnp.ndarray]:
+        """Accept a validated speculation: `first_tokens` is the full first
+        LLM chunk AFTER silent suppression (its first `first_hop_tokens`
+        entries are what the speculative hop consumed). Drains any further
+        hops already satisfiable from this chunk."""
+        self.tokens = np.asarray(first_tokens, np.int32)
+        self.token_offset = self.hop + self.prompt_pad
+        return self._drain()
 
     def push(self, new_tokens: np.ndarray) -> list[np.ndarray]:
         """Feed newly-decoded speech tokens; returns audio chunks that became
@@ -565,6 +629,9 @@ class Token2WavSession:
         started (VocStream.push_dev) — lets the caller pipeline the fetch
         of hop k behind hop k+1's dispatch (infer/tts.py)."""
         self.tokens = np.concatenate([self.tokens, np.asarray(new_tokens, np.int32)])
+        return self._drain()
+
+    def _drain(self) -> list[jnp.ndarray]:
         out = []
         while True:
             this_hop = self.hop + self.prompt_pad if self.token_offset == 0 else self.hop

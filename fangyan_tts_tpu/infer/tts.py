@@ -153,6 +153,21 @@ class _TokenPrefetcher:
             self._q.get_nowait()
 
 
+class _SpecFirstChunk:
+    """First LLM token chunk + the speculative first-hop device audio.
+
+    `tokens` is the suppressed host token stream of the chunk; `spec_audio`
+    is the device audio of hop 1 if the speculation validated (the raw
+    device window the flow consumed matches the suppressed stream), else
+    None and the consumer must reset + replay the session."""
+
+    __slots__ = ("tokens", "spec_audio")
+
+    def __init__(self, tokens: np.ndarray, spec_audio):
+        self.tokens = tokens
+        self.spec_audio = spec_audio
+
+
 def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
@@ -632,6 +647,23 @@ class CosyVoice3TTS:
         # streaming: LLM decodes incrementally (decode_chunk device calls)
         # interleaved with chunked token2wav; first hop absorbs prompt
         # padding to a hop boundary (model.py:342-377 semantics).
+        sched = getattr(self, "stream_scheduler", None)
+        sess = None
+        spec_hook = None
+        if sched is None:
+            from .stream import Token2WavSession
+
+            # session created BEFORE the token iterator so the LLM side can
+            # speculatively dispatch its first hop (see _stream_tokens)
+            sess = Token2WavSession(self, flow_prompt_speech_token, prompt_speech_feat, flow_embedding)
+            if (
+                not hasattr(text, "__next__")
+                and source_speech_token.shape[0] == 0
+                and getattr(self, "llm_scheduler", None) is None
+                and not getattr(self, "stream_no_speculation", False)
+            ):
+                spec_hook = sess.speculate_first
+
         if hasattr(text, "__next__"):  # bistream: text arrives as a generator
             from .bistream import inference_bistream
 
@@ -666,7 +698,10 @@ class CosyVoice3TTS:
                 )
             else:
                 token_iter = self._stream_tokens(
-                    text, prompt_text, llm_prompt_speech_token, **ratios
+                    text, prompt_text, llm_prompt_speech_token,
+                    first_hop_spec=spec_hook,
+                    spec_n=(sess.first_hop_tokens if spec_hook is not None else 0),
+                    **ratios,
                 )
         else:
             token_iter = iter([np.asarray(source_speech_token, np.int32)])
@@ -689,7 +724,6 @@ class CosyVoice3TTS:
         # With a StreamScheduler attached (enable_batched_streaming), hops of
         # concurrent requests batch through shared bs=N programs.
         try:
-            sched = getattr(self, "stream_scheduler", None)
             if sched is not None:
                 h = sched.open(flow_prompt_speech_token, prompt_speech_feat, flow_embedding)
                 try:
@@ -704,9 +738,6 @@ class CosyVoice3TTS:
                     raise
                 return
 
-            from .stream import Token2WavSession
-
-            sess = Token2WavSession(self, flow_prompt_speech_token, prompt_speech_feat, flow_embedding)
             # One-hop audio pipeline: hop k's ~26 ms D2H fetch materializes
             # only after hop k+1's device work is dispatched, so the fetch
             # roundtrip rides under device compute. The FIRST chunk is
@@ -714,7 +745,20 @@ class CosyVoice3TTS:
             pending = None
             emitted = 0
             for tok_chunk in token_iter:
-                for dev in sess.push_dev(tok_chunk):
+                if isinstance(tok_chunk, _SpecFirstChunk):
+                    if tok_chunk.spec_audio is not None:
+                        # speculation validated: the first hop's audio was
+                        # computed while the token fetch was in flight
+                        devs = [tok_chunk.spec_audio] + sess.commit_first(tok_chunk.tokens)
+                    else:
+                        # silent-run suppression (or early EOS) changed the
+                        # first window: discard the speculative state and
+                        # replay from fresh absolute-indexed noise/phase
+                        sess.reset()
+                        devs = sess.push_dev(tok_chunk.tokens)
+                else:
+                    devs = sess.push_dev(tok_chunk)
+                for dev in devs:
                     if emitted == 0:
                         if prefetch is not None:
                             prefetch.release()  # first audio in hand
@@ -739,9 +783,18 @@ class CosyVoice3TTS:
         chunk_steps: int = 32,
         min_token_text_ratio: float = 2.0,
         max_token_text_ratio: float = 20.0,
+        first_hop_spec=None,
+        spec_n: int = 0,
     ):
         """Incremental LLM decode: yields np arrays of newly-emitted speech
-        tokens per device call (models/llm.py decode_prefill/decode_chunk)."""
+        tokens per device call (models/llm.py decode_prefill/decode_chunk).
+
+        When `first_hop_spec` is given (Token2WavSession.speculate_first)
+        and the first hop fits in one decode chunk, the first flow+vocoder
+        hop is dispatched on the DEVICE token buffer before the chunk's
+        token values are fetched — the token2wav compute then rides under
+        the fetch roundtrip. The first yielded item becomes a
+        _SpecFirstChunk carrying the (validated or rejected) device audio."""
         from ..models.llm import decode_chunk, decode_prefill
 
         c = self.cfg.llm
@@ -763,8 +816,14 @@ class CosyVoice3TTS:
         run = 0
         silent = set(SILENT_TOKENS)
         done, i = False, 0
+        first = first_hop_spec is not None and 0 < spec_n <= chunk_steps
         while not done and i < max_len:
             state, chunk = decode_chunk(self.llm, self.llm_params, state, chunk_steps, tp)
+            spec_audio = None
+            if first:
+                # dispatch flow prefill + vocoder on the raw device chunk —
+                # overlaps the packed fetch below (validated after fetch)
+                spec_audio = first_hop_spec(chunk[0])
             # pack tokens + loop state into ONE host fetch: separate
             # bool(state.done)/int(state.i) fetches each cost a full ~26 ms
             # roundtrip on the axon tunnel
@@ -785,7 +844,21 @@ class CosyVoice3TTS:
                 else:
                     run = 0
                 out.append(t)
-            if out:
+            if first:
+                # valid iff suppression dropped nothing in the speculation
+                # window and the LLM emitted at least spec_n tokens: then
+                # the raw device window the flow consumed == the suppressed
+                # stream's first spec_n tokens
+                ok = (
+                    spec_audio is not None
+                    and len(out) >= spec_n
+                    and np.array_equal(np.asarray(out[:spec_n]), emitted[:spec_n])
+                )
+                yield _SpecFirstChunk(
+                    np.asarray(out, np.int32), spec_audio if ok else None
+                )
+                first = False
+            elif out:
                 yield np.asarray(out, np.int32)
 
 
