@@ -69,8 +69,18 @@ def pack_shard(
         cols["instruct"] = [maps["utt2instruct"][u] for u in utt_list]
     # zstd: measured 0.05s vs 3.7s cold snappy for a 64-utt PCM shard on this
     # host, and ~6x smaller files; pyarrow readers (dataset.parquet_opener
-    # and the reference's pandas path) decompress it transparently
-    pq.write_table(pa.table(cols), parquet_file, compression="zstd")
+    # and the reference's pandas path) decompress it transparently.
+    # audio_data stays UNCOMPRESSED: 16-bit PCM is near-incompressible and
+    # zstd-ing it was ~70% of shard-write time (per-column codecs are
+    # standard parquet; any reader handles the mix)
+    table = pa.table(cols)
+    # per-column codecs key on LEAF paths (list columns: "<name>.list.element")
+    leaf = lambda name, typ: f"{name}.list.element" if pa.types.is_list(typ) else name
+    codecs = {
+        leaf(f.name, f.type): ("none" if f.name == "audio_data" else "zstd")
+        for f in table.schema
+    }
+    pq.write_table(table, parquet_file, compression=codecs)
     with open(utt2parquet_file, "w", encoding="utf-8") as f:
         json.dump({u: parquet_file for u in utt_list}, f, ensure_ascii=False, indent=2)
     with open(spk2parquet_file, "w", encoding="utf-8") as f:
