@@ -239,9 +239,6 @@ class FlowStream:
         # to the reference's full-prefix re-solve (tests/test_flow_kv.py)
         self.kv = bool(getattr(tts, "flow_kv_stream", True))
         self.P_mel = int(self.prompt_feat.shape[1])
-        # max cap: steady hops write < P_mel + W*ratio; the finalize chunk
-        # writes up to (hop + la)*ratio more rows past the last hop boundary
-        self.C = -(-(self.P_mel + (self.W + self.hop + self.la) * self.ratio) // 128) * 128
         self._kv_cache = None
         self._kv_cap = 0  # current allocated capacity (grows on a x2 ladder:
         # the axon runtime copies the donated cache every call, so per-hop
@@ -293,7 +290,7 @@ class FlowStream:
         key = ("flow_win", self.P, self.pad, self.W, finalize)
         if key not in t._flow_jit:
             flow, fcfg = t.flow, t.cfg.flow
-            W, la, ratio, pad, P = self.W, self.la, self.ratio, self.pad, self.P
+            W, la, ratio, pad, P, H = self.W, self.la, self.ratio, self.pad, self.P, self.H
             P_mel = int(self.prompt_feat.shape[1])
             n_tok = P + W + (0 if finalize else la)
             l_mel = (P + W) * ratio
@@ -330,11 +327,13 @@ class FlowStream:
 
                 @jax.jit
                 def emit(mel):
-                    h = self.H
                     # pad is in TOKENS; the held-back region is pad*ratio mel
-                    # frames (== 2*pad only when token_mel_ratio == 2)
+                    # frames (== 2*pad only when token_mel_ratio == 2).
+                    # H is a hoisted local like the other closure values —
+                    # capturing `self` here would pin the first session's
+                    # prompt/cache arrays in the TTS-lifetime jit cache.
                     end = l_mel - pad * ratio
-                    return mel[:, end - h : end]
+                    return mel[:, end - H : end]
 
             # NOTE: conditioning is an ARGUMENT — this callable is cached on
             # the TTS object keyed by (P, pad, finalize) and shared by every
@@ -526,6 +525,7 @@ class FlowStream:
         if n_rem == 0:
             return jnp.zeros((1, F_CAP, 80), self.t.dtype), 0
         if n_t >= self.W:
+            self._kv_cache = None  # young-phase cache is dead past the window
             win = np.concatenate([self.prompt_tokens, tokens[n_t - self.W :]]).astype(np.int32)
             f_pad = self._window_fn(True)(
                 jnp.asarray(win[None]), n_t - self.W, self.prompt_feat, self.pf_len, self.emb,

@@ -66,6 +66,8 @@ def number_to_words_en(num_str: str) -> str:
     n = int(num_str)
     if n == 0:
         return "zero"
+    if n >= 10**15:  # beyond the scales table: read digit-by-digit
+        return " ".join("zero" if c == "0" else _ONES_EN[int(c)] for c in num_str)
     parts = []
 
     def three(x: int) -> str:
@@ -98,6 +100,8 @@ def number_to_words_zh(num_str: str) -> str:
     n = int(num_str)
     if n == 0:
         return "零"
+    if n >= 10**16:  # beyond 万亿: read digit-by-digit
+        return _digits_zh(num_str)
     out = []
     group_idx = 0
     while n > 0:
@@ -328,7 +332,9 @@ def split_paragraph(
             if len(text[st:i]) > 0:
                 utts.append(text[st:i] + c)
             if i + 1 < len(text) and text[i + 1] in ['"', "”"]:
-                utts[-1] = utts.pop() + text[i + 1] if utts else text[i + 1]
+                # closing quote rides with the sentence it ends
+                # (frontend_utils.py:96-99; pop+append keeps earlier utts)
+                utts.append((utts.pop() if utts else "") + text[i + 1])
                 st = i + 2
             else:
                 st = i + 1

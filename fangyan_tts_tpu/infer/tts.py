@@ -24,8 +24,7 @@ TPU-first differences from the reference's thread+queue design:
 from __future__ import annotations
 
 import threading
-import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Generator
 
 import jax
@@ -34,10 +33,10 @@ import numpy as np
 
 from ..config import CosyVoiceConfig
 from ..data.lm_plan import build_prompt_plan, pad_plans_left
-from ..models.flow import CausalMaskedDiffWithDiT, flow_inference
+from ..models.flow import CausalMaskedDiffWithDiT
 from ..models.hift import CausalHiFT
 from ..models.llm import CosyVoice3LM, generate_speech_tokens
-from ..utils.init import device_init, fast_init
+from ..utils.init import device_init
 
 # FSQ silent and breath tokens (cli/model.py:414)
 SILENT_TOKENS = (1, 2, 28, 29, 55, 248, 494, 2241, 2242, 2322, 2323)
@@ -392,7 +391,11 @@ class CosyVoice3TTS:
             def fn(token, token_len, prompt_feat, prompt_feat_len, embedding):
                 mu, spks, conds, mel_len = prep(self.flow_params, token, token_len, prompt_feat, prompt_feat_len, embedding)
                 l_mel = mu.shape[1]
-                noise = jnp.asarray(fixed_cfm_noise()[:, :l_mel, :], mu.dtype)
+                # device-resident noise buffer (shared with FlowStream):
+                # slicing on device avoids a per-call host->device upload
+                if not hasattr(self, "_cfm_noise_dev"):
+                    self._cfm_noise_dev = jnp.asarray(fixed_cfm_noise(), self.dtype)
+                noise = self._cfm_noise_dev[:, :l_mel, :]
                 z = jnp.broadcast_to(noise, (mu.shape[0], l_mel, fcfg.output_size)).astype(mu.dtype)
                 return solve(self.flow_params["estimator"], z, mu, spks, conds, mel_len)
 
@@ -536,14 +539,24 @@ class CosyVoice3TTS:
             jnp.asarray(pf_b, self.dtype), pflen, jnp.asarray(emb, self.dtype),
         )
         l_mel = mu.shape[1]
-        noise = jnp.asarray(fixed_cfm_noise()[:, :l_mel, :], mu.dtype)
+        if not hasattr(self, "_cfm_noise_dev"):
+            self._cfm_noise_dev = jnp.asarray(fixed_cfm_noise(), self.dtype)
+        noise = self._cfm_noise_dev[:, :l_mel, :]
         z = jnp.broadcast_to(noise, (b, l_mel, 80)).astype(mu.dtype)
         mel = solve(self.flow_params["estimator"], z, mu, spks, conds, mel_len)
         audio = self.vocode_batch(mel)  # device mel chains in; one audio fetch
         out = []
         ratio = self.cfg.token_mel_ratio
         hop = self.cfg.hift.total_upsample
-        p_mel = pf.shape[0]
+        # the output mel's prompt region is len(fp)*ratio frames (mu is the
+        # token sequence repeat-interleaved); prepare_inference's conds
+        # layout additionally requires prompt_feat to be exactly ratio x the
+        # prompt tokens — assert it so a misaligned feat fails loudly
+        # instead of splicing shifted audio
+        assert pf.shape[0] == len(fp) * ratio, (
+            f"prompt_speech_feat has {pf.shape[0]} frames; expected "
+            f"{len(fp) * ratio} (= {len(fp)} prompt tokens x ratio {ratio})"
+        )
         for i in range(b):
             n_tok = token_len[i] - len(fp)
             start = (len(fp) * ratio) * hop
@@ -668,13 +681,24 @@ class CosyVoice3TTS:
             from .bistream import inference_bistream
 
             def _bistream_iter():
-                buf = []
+                # silent-run suppression applies to the streaming bistream
+                # feed too (reference llm_job filter, cli/model.py:121-128) —
+                # run-length carried across chunk boundaries like
+                # _stream_tokens, so stream=True matches stream=False
+                buf, run = [], 0
+                silent = set(SILENT_TOKENS)
                 for tok in inference_bistream(
                     self.llm, self.llm_params, text,
                     prompt_text=np.asarray(prompt_text, np.int32),
                     prompt_speech=np.asarray(llm_prompt_speech_token, np.int32),
                     key=self.next_key(),
                 ):
+                    if tok in silent:
+                        run += 1
+                        if run > MAX_SILENT_RUN:
+                            continue
+                    else:
+                        run = 0
                     buf.append(tok)
                     if len(buf) >= 8:
                         yield np.asarray(buf, np.int32)

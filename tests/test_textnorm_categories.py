@@ -122,3 +122,36 @@ def test_frontend_spells_out_the_verdict_sentence():
     fe = Frontend(get_qwen_tokenizer(None, True, "cosyvoice3"), CosyVoiceConfig(), None, None)
     segs = fe.text_normalize("2024年8月17日，气温3.5℃。", split=True)
     assert segs == ["二零二四年八月十七日，气温三点五摄氏度。"]
+
+
+def test_split_paragraph_closing_quote_keeps_prior_sentence():
+    """Regression: the closing-quote merge must APPEND to the popped
+    sentence, not overwrite the one before it (frontend_utils.py:96-99)."""
+    from fangyan_tts_tpu.infer.textnorm import split_paragraph
+
+    got = split_paragraph(
+        "你好。他说：“吃饭了。”", lambda s: list(s), "zh",
+        token_max_n=5, token_min_n=2, merge_len=1,
+    )
+    assert "".join(got) == "你好。他说：“吃饭了。”"
+    # quote text starting with punctuation+quote must not IndexError (the
+    # orphan leading 。 is an empty segment and is dropped, as elsewhere)
+    got2 = split_paragraph("。”好的。", lambda s: list(s), "zh",
+                           token_max_n=5, token_min_n=2, merge_len=1)
+    assert "".join(got2) == "”好的。"
+
+
+def test_long_digit_runs_read_digit_by_digit():
+    """16+ digit runs exceed the scale tables: must fall back to
+    digit-by-digit reading instead of IndexError."""
+    from fangyan_tts_tpu.infer.textnorm import (
+        number_to_words_en, number_to_words_zh,
+    )
+
+    en = number_to_words_en("1234567890123456")
+    assert en.split()[:3] == ["one", "two", "three"] and len(en.split()) == 16
+    zh = number_to_words_zh("12345678901234567")
+    assert len(zh) == 17 and zh.startswith("一二三")
+    # boundary values still use the scale reading
+    assert "trillion" in number_to_words_en(str(10**14))
+    assert number_to_words_zh(str(10**15)).endswith("万亿")
