@@ -91,6 +91,25 @@ def prepare_model_dir(model_dir: str, force: bool = False) -> dict:
                 report["skipped"].append(f"config.json ({e})")
         else:
             report["skipped"].append("config.json (no family yaml; presets apply)")
+
+    # real-vocab tokenizer parity evidence (tokenizer/parity.py): when the
+    # download ships HF tokenizer assets, prove our CosyVoice2/3 special-id
+    # layout on THOSE assets (and byte-equality vs the reference class when
+    # a reference checkout is importable)
+    if version >= 2:
+        tok_dir = d / ("CosyVoice-BlankEN" if version == 2 and (d / "CosyVoice-BlankEN").exists()
+                       else "tokenizer")
+        if (tok_dir / "tokenizer.json").exists() or (tok_dir / "tokenizer_config.json").exists():
+            from ..tokenizer.parity import check_tokenizer_parity
+
+            try:
+                report["tokenizer_parity"] = check_tokenizer_parity(
+                    str(tok_dir), version=f"cosyvoice{version}")
+            except AssertionError as e:
+                report["tokenizer_parity"] = {"error": str(e)}
+                raise
+        else:
+            report["skipped"].append("tokenizer_parity (no HF tokenizer assets)")
     return report
 
 

@@ -265,7 +265,11 @@ class FlowStream:
         if key not in t._flow_jit:
             fcfg = t.cfg.flow
 
-            @partial(jax.jit, donate_argnums=(0,))
+            # NO donation: the old cache is strictly smaller than the grown
+            # output, so XLA can never reuse its buffer — donating it only
+            # produced a "donated buffers were not usable" warning per
+            # capacity tier (peak memory is old+new either way)
+            @jax.jit
             def fn(cache):
                 big = empty_kv_cache(fcfg, 2, nc, t.dtype)
                 return {
@@ -410,7 +414,9 @@ class FlowStream:
             ft = hop + la  # static token capacity of the final partial hop
             mel_d = t.cfg.flow.output_size
 
-            @partial(jax.jit, donate_argnums=(1,))
+            # NO donation: finalize returns only mel (the cache dies here but
+            # no output matches its buffers, so donation is never usable)
+            @jax.jit
             def fn(p, cache, tok_ctx, n_new_tok, lens, spks, noise_buf, z_starts, held):
                 b = tok_ctx.shape[0]
                 mu = flow.apply(

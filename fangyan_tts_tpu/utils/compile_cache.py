@@ -20,6 +20,21 @@ import os
 _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".jax_cache")
 
 _enabled = False
+_counts = {"requests": 0, "hits": 0}
+
+
+def _on_event(event: str, **kwargs) -> None:
+    if event == "/jax/compilation_cache/compile_requests_use_cache":
+        _counts["requests"] += 1
+    elif event == "/jax/compilation_cache/cache_hits":
+        _counts["hits"] += 1
+
+
+def cache_stats() -> dict:
+    """Persistent-cache hit/miss counts for this process (auditable
+    cold-start evidence: hits deserialize, misses pay a real compile)."""
+    return {"cache_hits": _counts["hits"],
+            "cache_misses": _counts["requests"] - _counts["hits"]}
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
@@ -40,6 +55,9 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     # the remote-compile roundtrip dominates even small ones
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    from jax import monitoring
+
+    monitoring.register_event_listener(_on_event)
     _enabled = True
     return cache_dir
 

@@ -121,3 +121,35 @@ def test_documented_arpabet_order(tok_dir):
 def test_byte_fallback_warns_loudly():
     with pytest.warns(UserWarning, match="NOT id-compatible"):
         ByteFallbackTokenizer(version="cosyvoice3")
+
+
+@pytest.mark.parametrize("version", ["cosyvoice2", "cosyvoice3"])
+def test_parity_checker_on_assets(tok_dir, ref_mod, version):
+    """tokenizer/parity.py: the shipped evidence tool must pass its
+    self-check AND the reference byte-equality path on HF assets (here the
+    tiny fixture vocab; on a real download, the actual Qwen vocab —
+    prepare_model_dir runs it automatically)."""
+    from fangyan_tts_tpu.tokenizer.parity import check_tokenizer_parity
+
+    res = check_tokenizer_parity(tok_dir, version=version,
+                                 reference_root="/root/reference/CosyVoice")
+    assert res["self_check"] == "ok"
+    assert res["reference"] == "ok"
+    assert res["corpus_texts"] > (100 if version == "cosyvoice3" else 30)
+    assert res["corpus_ids"] > (200 if version == "cosyvoice3" else 100)
+
+
+def test_parity_checker_detects_reorder(tok_dir, monkeypatch):
+    """A reordered special list must FAIL the checker (the failure mode the
+    evidence exists to catch: silently shifted phoneme ids)."""
+    import fangyan_tts_tpu.tokenizer.tokenizer as tmod
+    from fangyan_tts_tpu.tokenizer.parity import check_tokenizer_parity
+
+    swapped = dict(tmod.CV3_SPECIAL_TOKENS)
+    toks = list(swapped["additional_special_tokens"])
+    toks[3], toks[4] = toks[4], toks[3]  # swap [breath] and <strong>
+    swapped["additional_special_tokens"] = toks
+    monkeypatch.setattr(tmod, "CV3_SPECIAL_TOKENS", swapped)
+    with pytest.raises(AssertionError):
+        check_tokenizer_parity(tok_dir, version="cosyvoice3",
+                               reference_root="/root/reference/CosyVoice")
