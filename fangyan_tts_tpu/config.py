@@ -54,6 +54,13 @@ class QwenConfig:
     # carry form — measured SLOWER (944 steps/s: 24 DMA-launches/step of
     # overhead at these tiny shapes); kept for larger-cache regimes.
     use_pallas_decode_attention: bool = False
+    # Training-time gradient rematerialisation for the no-cache (full-seq)
+    # scan branch: "" = off (save all activations; fastest when the batch
+    # fits HBM), "dots" = jax.checkpoint_policies.dots_saveable (keep matmul
+    # outputs, recompute elementwise/softmax), "full" = recompute the whole
+    # block body in the backward pass (only the per-layer carry is saved —
+    # enables 4x larger train batches on a 16G v5e, docs/train_perf.md).
+    remat: str = ""
 
 
 @dataclass(frozen=True)

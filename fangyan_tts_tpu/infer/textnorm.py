@@ -175,6 +175,17 @@ def normalize_categories_zh(text: str) -> str:
         lambda m: _digits_zh(m.group(1), phone=True) + _digits_zh(m.group(2), phone=True),
         text,
     )
+    # very long digit runs (ID / card / order numbers, >=10 digits) that are
+    # not mobile numbers read digit-by-digit — reading an 18-digit ID as a
+    # quintillion-scale numeral is the classic WFST-less failure mode
+    text = re.sub(r"(?<!\d)(\d{10,})(?!\d)", lambda m: _digits_zh(m.group(1)), text)
+    # year ranges BEFORE single dates: 2008-2012年 -> both years digit-wise
+    # + 到 (the date rule would otherwise eat the right-hand year first)
+    text = re.sub(
+        r"(?<!\d)(\d{4})\s*[-~～]\s*(\d{4})(?=年)",
+        lambda m: _digits_zh(m.group(1)) + "到" + _digits_zh(m.group(2)),
+        text,
+    )
     # dates: YYYY年M月D日 / YYYY-MM-DD / YYYY/M/D / M月D日; years read digit-wise
     def _date_cjk(m):
         out = _digits_zh(m.group(1)) + "年"
@@ -207,12 +218,30 @@ def normalize_categories_zh(text: str) -> str:
         return out
 
     text = re.sub(r"(?<!\d)(\d{1,2}):(\d{2})(?::(\d{2}))?(?!\d)", _time, text)
+    # sports scores: what X:Y runs remain after the clock-time pass (single
+    # digit minutes, or >2-digit sides like 108:102) read as X比Y
+    text = re.sub(
+        r"(?<!\d)(\d{1,3}):(\d{1,3})(?!\d)",
+        lambda m: number_to_words_zh(m.group(1)) + "比" + number_to_words_zh(m.group(2)),
+        text,
+    )
+    # percent ranges BEFORE single percents: 10%-20% -> 百分之十到百分之二十
+    # (wetext reads both ends as percents; a bare hyphen between two
+    # normalized percents would otherwise survive as punctuation)
+    text = re.sub(
+        r"(-?\d+(?:\.\d+)?)%\s*[-~～]\s*(-?\d+(?:\.\d+)?)%",
+        lambda m: "百分之" + _num_zh(m.group(1).lstrip("-")) + "到百分之" + _num_zh(m.group(2).lstrip("-")),
+        text,
+    )
     # percent: X% -> 百分之X (also ±)
     text = re.sub(
         r"-?\d+(?:\.\d+)?%",
         lambda m: ("负" if m.group(0).startswith("-") else "") + "百分之" + _num_zh(m.group(0).lstrip("-")[:-1]),
         text,
     )
+    # lunar-calendar day-of-month: 初5 / 初15 -> 初五 / 初十五 (wetext date.fst
+    # lunar branch; the month names 正月/腊月 are already characters)
+    text = re.sub(r"初(\d{1,2})(?!\d)", lambda m: "初" + number_to_words_zh(m.group(1)), text)
     # fractions: X/Y -> Y分之X
     text = re.sub(
         r"(?<![\d/])(\d{1,3})/(\d{1,3})(?![\d/])",

@@ -271,8 +271,16 @@ class Qwen2Model(nn.Module):
         carry = (inputs_embeds, cos, sin, attn_bias)
 
         if cache is None:
+            block = Qwen2Block
+            if c.remat:
+                # Gradient remat inside the layer scan (training only — this
+                # branch never runs at decode). prevent_cse=False is the
+                # standard pairing with scan: CSE cannot fire across scan
+                # iterations, and leaving it on blocks XLA fusions.
+                policy = jax.checkpoint_policies.dots_saveable if c.remat == "dots" else None
+                block = nn.remat(Qwen2Block, policy=policy, prevent_cse=False)
             scan = nn.scan(
-                Qwen2Block,
+                block,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=c.num_hidden_layers,

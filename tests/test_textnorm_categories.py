@@ -62,6 +62,18 @@ ZH_CASES = [
     # ranges
     ("需要3~5天。", "需要三到五天。"),
     ("大约2-3人。", "大约二到三人。"),
+    ("涨幅10%-20%。", "涨幅百分之十到百分之二十。"),
+    ("3-5万的预算。", "三到五万的预算。"),
+    ("2008-2012年经济增长。", "二零零八到二零一二年经济增长。"),
+    # sports scores (what X:Y runs survive the clock-time pass)
+    ("比分2:1。", "比分二比一。"),
+    ("大比分108:102获胜。", "大比分一百零八比一百零二获胜。"),
+    # lunar-calendar days
+    ("正月初5拜年。", "正月初五拜年。"),
+    ("腊月初10祭灶。", "腊月初十祭灶。"),
+    # long ID/card digit runs read digit-by-digit, not as a numeral
+    ("卡号6222021234567890。", "卡号六二二二零二一二三四五六七八九零。"),
+    ("订单号2024081712345。", "订单号二零二四零八幺七幺二三四五。".replace("幺", "一")),
     # plain numbers / decimals
     ("第3名。", "第三名。"),
     ("共有1234人。", "共有一千二百三十四人。"),

@@ -112,3 +112,32 @@ def test_flow_train_step(rng):
     for i in range(4):
         state, m = step(state, batch, jax.random.PRNGKey(1))
     assert float(m["loss"]) < float(m0["loss"])
+
+
+@pytest.mark.parametrize("mode", ["full", "dots"])
+def test_remat_grads_match_no_remat(rng, mode):
+    """QwenConfig.remat must change memory behavior only: same param tree,
+    same loss, gradients equal to the no-remat step (fp32 tolerance).
+    Enables the 4x-batch train configs on 16G HBM (docs/train_perf.md)."""
+    import dataclasses
+
+    batch = _llm_batch(rng)
+    base = CosyVoice3LM(LLM_CFG)
+    params = fast_init(base, 0, batch["src"], batch["ids"], batch["lengths"], batch["targets"])
+    rcfg = dataclasses.replace(LLM_CFG, qwen=dataclasses.replace(QWEN, remat=mode))
+    rmodel = CosyVoice3LM(rcfg)
+
+    def loss_fn(model):
+        def f(p):
+            loss, _ = model.apply({"params": p}, batch["src"], batch["ids"],
+                                  batch["lengths"], batch["targets"])
+            return loss
+        return f
+
+    (l0, g0) = jax.value_and_grad(loss_fn(base))(params)
+    (l1, g1) = jax.value_and_grad(loss_fn(rmodel))(params)
+    assert jax.tree.structure(g0) == jax.tree.structure(g1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    maxdiff = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)))
+    assert maxdiff < 1e-5, maxdiff
