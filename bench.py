@@ -238,48 +238,71 @@ def bench_train(rng) -> None:
     from fangyan_tts_tpu.train.scheduler import build_optimizer
     from fangyan_tts_tpu.utils.init import fast_init
 
-    cfg = CosyVoiceConfig()
-    model = CosyVoice3LM(cfg.llm, dtype=jnp.bfloat16)
-    b, t = 8, 256  # 2048 tokens/batch
-    batch = {
-        "src": jnp.asarray(rng.integers(0, 2, (b, t)).astype(np.int32)),
-        "ids": jnp.asarray(rng.integers(0, cfg.llm.speech_token_size, (b, t)).astype(np.int32)),
-        "lengths": jnp.full((b,), t, jnp.int32),
-        "targets": jnp.asarray(rng.integers(0, cfg.llm.speech_token_size, (b, t)).astype(np.int32)),
-    }
-    params = fast_init(model, 0, batch["src"], batch["ids"], batch["lengths"], batch["targets"])
-    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
-    tx = build_optimizer(optim="adam", lr=1e-5, scheduler="constantlr", grad_clip=5.0, accum_grad=2)
-    state = trainer.init_state(params, tx)
-    step = trainer.make_llm_train_step(model, tx)
+    import dataclasses
 
-    t0 = time.time()
-    state, metrics = step(state, batch, jax.random.PRNGKey(1))
-    loss0 = float(np.asarray(metrics["loss"]))
-    compile_s = time.time() - t0
-    n_calls = 4  # 2 full accum-2 optimizer cycles
-    t0 = time.time()
-    for i in range(n_calls):
-        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
-    loss1 = float(np.asarray(metrics["loss"]))
-    dt = time.time() - t0
-    step_ms = dt / n_calls * 1000.0
-    tok_s = b * t * n_calls / dt
-    peak_flops = 197e12  # v5e bf16
-    mfu = 6.0 * n_params * tok_s / peak_flops
-    assert np.isfinite(loss0) and np.isfinite(loss1)
-    log(
-        f"llm train step (0.5B, bs{b}x{t}, accum 2): {step_ms:.0f} ms/step -> "
-        f"{tok_s:.0f} tok/s/chip, MFU {mfu:.1%} (compile {compile_s:.1f}s, "
-        f"loss {loss0:.3f}->{loss1:.3f}, {n_params / 1e6:.0f}M params)"
-    )
+    cfg = CosyVoiceConfig()
+    # remat='full' recomputes the block body in bwd instead of saving
+    # activations — measured FASTER even at the recipe batch (111 vs 117 ms:
+    # the saves were HBM-bound) and it unlocks 8x larger batches on 16G HBM
+    # (docs/train_perf.md sweep; grads bit-verified vs no-remat in
+    # tests/test_train.py::test_remat_grads_match_no_remat).
+    lcfg = dataclasses.replace(cfg.llm, qwen=dataclasses.replace(cfg.llm.qwen, remat="full"))
+    model = CosyVoice3LM(lcfg, dtype=jnp.bfloat16)
+
+    def mk_batch(b, t):
+        return {
+            "src": jnp.asarray(rng.integers(0, 2, (b, t)).astype(np.int32)),
+            "ids": jnp.asarray(rng.integers(0, cfg.llm.speech_token_size, (b, t)).astype(np.int32)),
+            "lengths": jnp.full((b,), t, jnp.int32),
+            "targets": jnp.asarray(rng.integers(0, cfg.llm.speech_token_size, (b, t)).astype(np.int32)),
+        }
 
     def _free(*trees):
         for tr in trees:
             jax.tree.map(lambda x: x.delete() if hasattr(x, "delete") else None, tr)
 
-    _free(state, batch)
-    del state, params
+    b, t = 8, 256  # 2048 tokens/batch: the reference recipe's
+    # max_frames_in_batch~2000 (examples/dialect/cosyvoice3/conf)
+    batch = mk_batch(b, t)
+    params = fast_init(model, 0, batch["src"], batch["ids"], batch["lengths"], batch["targets"])
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    peak_flops = 197e12  # v5e bf16
+
+    def time_step(b, t, n_calls=4):
+        tx = build_optimizer(optim="adam", lr=1e-5, scheduler="constantlr", grad_clip=5.0, accum_grad=2)
+        state = trainer.init_state(params, tx)
+        step = trainer.make_llm_train_step(model, tx)
+        bt = mk_batch(b, t)
+        try:
+            t0 = time.time()
+            state, metrics = step(state, bt, jax.random.PRNGKey(1))
+            loss0 = float(np.asarray(metrics["loss"]))
+            compile_s = time.time() - t0
+            t0 = time.time()
+            for i in range(n_calls):
+                state, metrics = step(state, bt, jax.random.PRNGKey(2 + i))
+            loss1 = float(np.asarray(metrics["loss"]))
+            dt = time.time() - t0
+            assert np.isfinite(loss0) and np.isfinite(loss1)
+            step_ms = dt / n_calls * 1000.0
+            tok_s = b * t * n_calls / dt
+            mfu = 6.0 * n_params * tok_s / peak_flops
+            log(
+                f"llm train step (0.5B, bs{b}x{t}, accum 2, remat): {step_ms:.0f} ms/step -> "
+                f"{tok_s:.0f} tok/s/chip, MFU {mfu:.1%} (compile {compile_s:.1f}s, "
+                f"loss {loss0:.3f}->{loss1:.3f}, {n_params / 1e6:.0f}M params)"
+            )
+            return step_ms, tok_s, mfu
+        finally:
+            _free(state, bt)
+
+    step_ms, tok_s, mfu = time_step(b, t)  # reference-recipe batch
+    # max-throughput config: same model/optimizer, 16k-token batch (remat
+    # makes it fit); the recipe point is optimizer/overhead-bound, this one
+    # is MXU-bound (docs/train_perf.md roofline)
+    max_step_ms, max_tok_s, max_mfu = time_step(64, 256, n_calls=3)
+    _free(batch)
+    del params
 
     # flow (DiT 1024x22 CFM) step at ~the same mel budget
     flow = CausalMaskedDiffWithDiT(cfg.flow)
@@ -314,6 +337,9 @@ def bench_train(rng) -> None:
     emit("llm_train_tokens_per_s_per_chip", round(tok_s, 0), "tok/s",
          round(mfu / 0.30, 3), step_ms=round(step_ms, 1), mfu=round(mfu, 3),
          flow_step_ms=round(flow_step_ms, 1))
+    emit("llm_train_max_tokens_per_s_per_chip", round(max_tok_s, 0), "tok/s",
+         round(max_mfu / 0.30, 3), step_ms=round(max_step_ms, 1),
+         mfu=round(max_mfu, 3), batch_tokens=64 * 256)
 
 
 def bench_first_chunk(tts, rng) -> None:

@@ -10,12 +10,21 @@ import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 os.environ["JAX_PLATFORMS"] = "cpu"
-# don't pollute the repo's persistent TPU compilation cache with CPU entries
-os.environ.setdefault("FANGYAN_JAX_CACHE_DIR", "")
+# CPU entries go to a DEDICATED persistent cache (not the TPU .jax_cache):
+# the suite is compile-dominated on this box's single core, and the tiny
+# fixture configs are stable across runs, so warm runs cut the fast tier
+# from ~40 min to minutes. Code changes invalidate only the affected
+# programs (HLO-fingerprint keyed).
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("FANGYAN_JAX_CACHE_DIR", os.path.join(_repo, ".jax_cache_cpu"))
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from fangyan_tts_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

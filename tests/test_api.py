@@ -107,6 +107,7 @@ def test_instruct2_and_speaker_cache(model, model_dir):
     assert "spk_a" in model.list_available_spks()
 
 
+@pytest.mark.slow
 def test_vc_through_api(model, model_dir):
     outs = list(model.inference_vc(str(model_dir / "prompt.wav"), str(model_dir / "prompt.wav")))
     assert len(outs[0]["tts_speech"]) > 0

@@ -81,6 +81,7 @@ def test_batched_equals_sequential(tiny_tts):
         assert np.abs(a - b).max() < 2e-3, f"slot {i} deviates by {np.abs(a - b).max()}"
 
 
+@pytest.mark.slow
 def test_stream_scheduler_sessions(tiny_tts):
     """Sessions opened/fed/closed through the scheduler produce the same
     audio as direct Token2WavSessions; slots are recycled."""

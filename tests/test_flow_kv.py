@@ -193,7 +193,7 @@ def test_cfm_chunk_stream_matches_full_solve(tiny_flow):
                                atol=2e-4)
 
 
-@pytest.mark.parametrize("window", [1000, 50])
+@pytest.mark.parametrize("window", [pytest.param(1000, marks=pytest.mark.slow), 50])
 def test_flowstream_kv_equals_full_prefix(window):
     """FlowStream with the KV-cached young phase must emit the same hop mels
     and finalize tail as the exact full-prefix re-solve path (kv=False),

@@ -117,6 +117,7 @@ def test_full_grpo_iteration_with_synthesis(rng):
     assert delta > 0
 
 
+@pytest.mark.slow
 def test_token2wav_asr_server_roundtrip(rng):
     """The /score and /asr routes against a tiny model + echo ASR."""
     import json as json_mod

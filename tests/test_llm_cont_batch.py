@@ -207,6 +207,7 @@ def test_abandoned_stream_releases_slot(tiny_tts):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_v2_sessions_match_solo():
     """LLMScheduler serves the v2 family too (plans via tts._plan, no
     silent-run suppression): batched streams == v2 solo _stream_tokens."""

@@ -10,6 +10,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from fangyan_tts_tpu.config import LLMConfig, QwenConfig
@@ -176,6 +177,7 @@ def test_dit_quantized_forward_close():
     assert cos > 0.999, cos
 
 
+@pytest.mark.slow
 def test_quantize_flow_full_pipeline_close():
     """CosyVoice3TTS.quantize_flow: offline token2mel and the KV-cached
     streaming path must still run and track fp mel closely after the

@@ -75,6 +75,7 @@ def test_spec_commit_equals_push():
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
 
 
+@pytest.mark.slow
 def test_spec_reset_replays_identically():
     """A rejected speculation (reset + replay with different tokens) must be
     indistinguishable from a fresh session."""
@@ -107,6 +108,7 @@ def test_spec_reset_replays_identically():
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
 
 
+@pytest.mark.slow
 def test_spec_with_prompt_pad():
     """Prompt whose length isn't a hop multiple: the first hop absorbs
     prompt_pad tokens; speculation must still match the plain path."""
@@ -138,6 +140,7 @@ def test_spec_with_prompt_pad():
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
 
 
+@pytest.mark.slow
 def test_spec_declines_short_chunk():
     """A raw chunk shorter than the speculation window must decline."""
     import jax.numpy as jnp

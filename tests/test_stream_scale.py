@@ -128,6 +128,7 @@ def _tiny_tts():
     return CosyVoice3TTS.random_init(cfg, dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_flow_window_equals_full_prefix_at_boundary():
     """At the first windowed hop with window == prefix (s=0), the windowed
     flow program must produce EXACTLY the same hop mel as the young
