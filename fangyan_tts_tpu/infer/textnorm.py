@@ -158,6 +158,14 @@ _UNITS_MAP_ZH = [
     ("g", "克"), ("L", "升"), ("m", "米"), ("s", "秒"),
 ]
 
+# characters after which a standalone 2 reads 两 (measure words, clock 点,
+# scale words 万/亿); 月/日/号 deliberately absent (2月 = 二月)
+_LIANG_FOLLOWERS = (
+    "个只本条张次位名件台辆架间家场篇首座颗棵粒艘顶杯瓶碗盘块枚匹头罐桶袋箱层栋排"
+    "对双份节段句行页幅卷册部集支把口亩级倍人天年周岁点分秒小站轮届门道笔锅组队幢"
+    "万亿"
+)
+
 _CURRENCY_ZH = {"￥": "元", "¥": "元", "$": "美元", "€": "欧元", "£": "英镑"}
 _CURRENCY_EN = {"$": ("dollar", "dollars"), "€": ("euro", "euros"), "£": ("pound", "pounds")}
 
@@ -210,7 +218,7 @@ def normalize_categories_zh(text: str) -> str:
     # times: HH:MM(:SS)
     def _time(m):
         h, mi, se = m.group(1), m.group(2), m.group(3)
-        out = number_to_words_zh(h) + "点"
+        out = ("两" if int(h) == 2 else number_to_words_zh(h)) + "点"
         if int(mi):
             out += ("零" if mi[0] == "0" and int(mi) else "") + number_to_words_zh(mi) + "分"
         if se is not None and int(se):
@@ -267,6 +275,11 @@ def normalize_categories_zh(text: str) -> str:
     text = re.sub(r"(?<![\dA-Za-z)])-(?=\d)", "负", text)
     # leftover range tildes between already-normalized spans
     text = text.replace("~", "到").replace("～", "到")
+    # 二/两 distinction (wetext char.fst): a STANDALONE digit 2 directly
+    # before a measure word / 点(clock) / 万亿 reads 两, not 二 (2个->两个,
+    # 2点->两点, 2万->两万). Multi-digit numbers keep 二 (12个->十二个), and
+    # calendar 月/日/号 keep 二 (2月->二月), so both are excluded.
+    text = re.sub(r"(?<![\d.])2(?=[" + _LIANG_FOLLOWERS + r"])", "两", text)
     return text
 
 

@@ -84,6 +84,15 @@ ZH_CASES = [
     ("编号205。", "编号二百零五。"),
     ("第1001夜。", "第一千零一夜。"),
     ("110路公交。", "一百一十路公交。"),
+    # 二/两 distinction (wetext char.fst): standalone 2 + measure word
+    ("买了2个苹果。", "买了两个苹果。"),
+    ("下午2点开会。", "下午两点开会。"),
+    ("会议2:30开始。", "会议两点三十分开始。"),
+    ("预算2万元。", "预算两万元。"),
+    ("住了2天。", "住了两天。"),
+    ("排队的有12个人。", "排队的有十二个人。"),
+    ("2月2日出发。", "二月二日出发。"),
+    ("得了2分。", "得了两分。"),
 ]
 
 EN_CASES = [
