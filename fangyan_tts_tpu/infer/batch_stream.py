@@ -573,8 +573,13 @@ class StreamScheduler:
                 g._cond.wait(0.1)
             g._stepping = True  # exclusive: drain remaining hops + finalize
         try:
+            # drain only until OUR slot's full hops are consumed (finalize
+            # requires a sub-hop remainder); other slots' pending hops are
+            # swept along by the batched steps but don't gate this close —
+            # their own feeds' leaders will advance them. Simultaneous
+            # closes previously serialized on full-group drains.
             drained = []
-            while True:
+            while g._hop_ready(slot):
                 chunks = g.step()
                 if not chunks:
                     break

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.lm_plan import build_prompt_plan, pad_plans_left
-from ..models.llm import cont_empty, cont_insert_rows, decode_chunk_cont, decode_prefill
+from ..models.llm import cont_empty, cont_insert_rows_masked, decode_chunk_cont, decode_prefill
 # open()'s tp/cache_len formulas must stay byte-identical to
 # _stream_tokens' so both paths land in the same compile-cache buckets
 from .tts import _round_up
@@ -170,21 +170,33 @@ class LLMScheduler:
         fresh = g.state is None
         g.cond.release()
         try:
-            plans = pad_plans_left([r["plan"] for r in batch], length=g.tp)
+            # ALWAYS prefill at full group width: cohort rows are padded with
+            # copies of row 0 and dropped by the masked insert. The prefill
+            # program therefore has ONE shape per (tp, cache_len) group —
+            # without the padding, each distinct cohort size k that thread
+            # interleaving produced compiled a fresh (k, tp) transformer
+            # prefill mid-request (measured 5.3 s inside a live c=8 run).
+            k, n = len(batch), self.width
+            plan_rows = [r["plan"] for r in batch] + [batch[0]["plan"]] * (n - k)
+            plans = pad_plans_left(plan_rows, length=g.tp)
+            mins = [r["min"] for r in batch] + [0] * (n - k)
+            maxs = [r["max"] for r in batch] + [0] * (n - k)
             small = decode_prefill(
                 t.llm, t.llm_params,
                 jnp.asarray(plans["src"]), jnp.asarray(plans["ids"]),
                 jnp.asarray(plans["lengths"]),
-                jnp.asarray([r["min"] for r in batch], jnp.int32),
-                jnp.asarray([r["max"] for r in batch], jnp.int32),
+                jnp.asarray(mins, jnp.int32), jnp.asarray(maxs, jnp.int32),
                 batch[0]["key"], cache_len=g.cache_len,
             )
             if fresh:
                 g.state = cont_empty(small, self.width)
-            g.state = cont_insert_rows(
-                g.state, small, jnp.asarray(slots, jnp.int32),
-                jnp.stack([jnp.asarray(r["key"]) for r in batch]),
+            key0 = jnp.asarray(batch[0]["key"])
+            keys = jnp.stack(
+                [jnp.asarray(r["key"]) for r in batch]
+                + [jnp.zeros_like(key0)] * (n - k)
             )
+            slot_rows = jnp.asarray(slots + [-1] * (n - k), jnp.int32)
+            g.state = cont_insert_rows_masked(g.state, small, slot_rows, keys)
         except BaseException as e:
             g.cond.acquire()
             g.stepping = False

@@ -392,6 +392,58 @@ def cont_insert_rows(
     )
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def cont_insert_rows_masked(
+    big: ContState, small: DecodeState, slots: jnp.ndarray, keys: jnp.ndarray
+) -> ContState:
+    """Fixed-shape insert: `small` is a FULL-WIDTH batched prefill whose
+    first k rows are real; slots[j] is the target big row for small row j,
+    or -1 for padding rows. ONE program regardless of how many requests the
+    arrival window collected — the dynamic-batching front always prefills
+    at group width, so its whole program set is {prefill, insert, chunk}:
+    deterministic and warm after the first open, where per-k prefill
+    programs compiled mid-request whenever thread interleaving produced a
+    fresh cohort split (measured: a (5, tp) prefill compile cost 5.3 s
+    inside a live c=8 run). The reference hits the same problem class with
+    per-shape TRT engines and solves it with engine warmup
+    (runtime/triton_trtllm/README.md:95-124)."""
+    n = big.logits.shape[0]
+    # sel[row] = small source row feeding that big row, or -1 (keep big)
+    sel = jnp.full((n,), -1, jnp.int32)
+    sel = sel.at[jnp.where(slots >= 0, slots, n)].set(
+        jnp.arange(slots.shape[0], dtype=jnp.int32), mode="drop"
+    )
+    has = sel >= 0
+    src = jnp.clip(sel, 0)
+
+    def mix(b, s, axis=0):
+        g = jnp.take(s, src, axis=axis).astype(b.dtype)
+        shape = [1] * b.ndim
+        shape[axis] = n
+        return jnp.where(has.reshape(shape), g, b)
+
+    cache = {
+        "k": mix(big.cache["k"], small.cache["k"], axis=1),
+        "v": mix(big.cache["v"], small.cache["v"], axis=1),
+        # same tp bucket -> the solo scalar write index applies to every row
+        "index": jnp.where(has, small.cache["index"], big.cache["index"]),
+    }
+    zeros = jnp.zeros((n,), jnp.int32)
+    return ContState(
+        cache=cache,
+        logits=mix(big.logits, small.logits),
+        recent=mix(big.recent, small.recent),
+        done=jnp.where(has, False, big.done),
+        counts=jnp.where(has, zeros, big.counts),
+        i=jnp.where(has, zeros, big.i),
+        keys=mix(big.keys, keys),
+        prompt_lens=mix(big.prompt_lens, small.prompt_lens),
+        start_slots=mix(big.start_slots, small.start_slots),
+        min_lens=mix(big.min_lens, small.min_lens),
+        max_lens=mix(big.max_lens, small.max_lens),
+    )
+
+
 @partial(jax.jit, static_argnames=("model", "n_steps", "prompt_pad"), donate_argnums=(2,))
 def decode_chunk_cont(
     model: CosyVoice3LM,
