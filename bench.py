@@ -268,11 +268,16 @@ def bench_train(rng) -> None:
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     peak_flops = 197e12  # v5e bf16
 
-    def time_step(b, t, n_calls=4):
-        tx = build_optimizer(optim="adam", lr=1e-5, scheduler="constantlr", grad_clip=5.0, accum_grad=2)
+    def time_step(b, t, n_calls=4, accum=2):
+        # accum microbatches are scanned INSIDE the step (one adam apply
+        # per step; trainer.py) — step time covers accum*b*t tokens.
+        # MultiSteps' step-per-microbatch path measured 111 ms for the same
+        # 2048-token microbatch: 62 ms of it was the every-call optimizer
+        # select (docs/train_perf.md).
+        tx = build_optimizer(optim="adam", lr=1e-5, scheduler="constantlr", grad_clip=5.0)
         state = trainer.init_state(params, tx)
-        step = trainer.make_llm_train_step(model, tx)
-        bt = mk_batch(b, t)
+        step = trainer.make_llm_train_step(model, tx, accum=accum)
+        bt = jax.tree.map(lambda *xs: jnp.stack(xs), *[mk_batch(b, t) for _ in range(accum)])
         try:
             t0 = time.time()
             state, metrics = step(state, bt, jax.random.PRNGKey(1))
@@ -285,10 +290,10 @@ def bench_train(rng) -> None:
             dt = time.time() - t0
             assert np.isfinite(loss0) and np.isfinite(loss1)
             step_ms = dt / n_calls * 1000.0
-            tok_s = b * t * n_calls / dt
+            tok_s = accum * b * t * n_calls / dt
             mfu = 6.0 * n_params * tok_s / peak_flops
             log(
-                f"llm train step (0.5B, bs{b}x{t}, accum 2, remat): {step_ms:.0f} ms/step -> "
+                f"llm train step (0.5B, accum {accum} x bs{b}x{t} in-scan, remat): {step_ms:.0f} ms/step -> "
                 f"{tok_s:.0f} tok/s/chip, MFU {mfu:.1%} (compile {compile_s:.1f}s, "
                 f"loss {loss0:.3f}->{loss1:.3f}, {n_params / 1e6:.0f}M params)"
             )
@@ -339,7 +344,7 @@ def bench_train(rng) -> None:
          flow_step_ms=round(flow_step_ms, 1))
     emit("llm_train_max_tokens_per_s_per_chip", round(max_tok_s, 0), "tok/s",
          round(max_mfu / 0.30, 3), step_ms=round(max_step_ms, 1),
-         mfu=round(max_mfu, 3), batch_tokens=64 * 256)
+         mfu=round(max_mfu, 3), batch_tokens=2 * 64 * 256)
 
 
 def bench_first_chunk(tts, rng) -> None:

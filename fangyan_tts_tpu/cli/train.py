@@ -58,7 +58,7 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
 
     from ..config import CosyVoiceConfig, config_from_dict
-    from ..data.dataset import build_pipeline
+    from ..data.dataset import build_pipeline, stack_microbatches
     from ..models.flow import CausalMaskedDiffWithDiT
     from ..models.llm import CosyVoice3LM
     from ..ops.mel import matcha_mel
@@ -79,17 +79,20 @@ def main(argv=None) -> None:
     tokenizer = get_qwen_tokenizer(args.tokenizer_path or args.qwen_pretrain_path or None)
     mel_fn = jax.jit(lambda a: matcha_mel(jnp.asarray(a)))
 
+    # grad accumulation lives IN the train step (scan over stacked
+    # microbatches, one optimizer apply) rather than optax.MultiSteps —
+    # measured ~1.7x faster at the 0.5B recipe batch (trainer.py docstring)
     tx = build_optimizer(
         optim="adam", lr=args.lr, scheduler=args.scheduler,
         scheduler_conf={"warmup_steps": args.warmup_steps} if args.scheduler == "warmuplr" else None,
-        grad_clip=args.grad_clip, accum_grad=args.accum_grad,
+        grad_clip=args.grad_clip,
     )
 
     if args.model == "llm":
         model = CosyVoice3LM(cfg.llm, dtype=jnp.bfloat16)
         t = jnp.zeros((1, 8), jnp.int32)
         params = fast_init(model, args.seed, t, t, jnp.asarray([8]), t)
-        step_fn = trainer.make_llm_train_step(model, tx, mesh)
+        step_fn = trainer.make_llm_train_step(model, tx, mesh, accum=args.accum_grad)
     elif args.model == "flow":
         model = CausalMaskedDiffWithDiT(cfg.flow)
         t = jnp.zeros((1, 8), jnp.int32)
@@ -97,7 +100,7 @@ def main(argv=None) -> None:
             model, args.seed, t, jnp.asarray([8]), jnp.zeros((1, 16, 80)), jnp.asarray([16]),
             jnp.zeros((1, 192)), jax.random.PRNGKey(0),
         )
-        step_fn = trainer.make_flow_train_step(model, tx, mesh)
+        step_fn = trainer.make_flow_train_step(model, tx, mesh, accum=args.accum_grad)
     else:
         raise SystemExit("hifigan training: use fangyan_tts_tpu.cli.train_gan")
 
@@ -122,15 +125,18 @@ def main(argv=None) -> None:
         executor = Executor(step_fn, args.model_dir, args.log_interval, args.save_per_step)
         rng = jax.random.PRNGKey(args.seed)
 
-        def make_data(epoch: int, path: str):
-            return build_pipeline(
+        def make_data(epoch: int, path: str, stack: bool = True):
+            it = build_pipeline(
                 path, tokenizer, mel_fn, mode=args.model, llm_cfg=cfg.llm,
                 epoch=epoch, max_frames_in_batch=args.max_frames_in_batch,
                 use_spk_embedding=args.use_spk_embedding,
             )
+            if stack and args.accum_grad > 1:
+                it = stack_microbatches(it, args.accum_grad)
+            return it
 
         for epoch in range(start_epoch, args.max_epoch):
-            cv = make_data(0, args.cv_data) if args.cv_data else None
+            cv = make_data(0, args.cv_data, stack=False) if args.cv_data else None
 
             def cv_fn(p, batch):
                 if args.model == "llm":

@@ -22,6 +22,7 @@ TPU-first differences:
 
 from __future__ import annotations
 
+import logging
 import random
 from io import BytesIO
 from typing import Any, Callable, Iterable, Iterator
@@ -196,6 +197,44 @@ def dynamic_batch(data: Iterator[dict], max_frames_in_batch: int = 2000, hop: in
 
 def _round_up(n: int, m: int) -> int:
     return max((n + m - 1) // m * m, m)
+
+
+# per-key padding values for stacked microbatches: loss-masked targets pad
+# with IGNORE_ID, length fields pad with 0 rows (masked everywhere), data 0
+_STACK_PAD = {"targets": -1, "lengths": 0, "token_len": 0, "feat_len": 0}
+
+
+def stack_microbatches(batches: Iterator[dict], accum: int) -> Iterator[dict]:
+    """Group `accum` consecutive collated batches into ONE stacked batch
+    with a leading (accum,) microbatch dim, padding each to the group's max
+    (B, L) so train steps with in-step grad accumulation
+    (trainer.make_*_train_step(accum=...)) see a fixed-shape stack. Pad
+    rows carry lengths=0 / targets=IGNORE_ID, so they contribute nothing
+    to the loss (llm.py forward masks by lengths; flow masks by feat_len).
+    A sub-`accum` epoch remainder is DROPPED (logged) — the reference's
+    accum loop likewise only steps the optimizer on full accum windows
+    (train_utils.py:277-288) and its join-group tolerates uneven tails."""
+    group: list[dict] = []
+    dropped = 0
+    for b in batches:
+        group.append(b)
+        if len(group) < accum:
+            continue
+        keys = group[0].keys()
+        stacked = {}
+        for k in keys:
+            arrs = [np.asarray(g[k]) for g in group]
+            shape = tuple(max(a.shape[d] for a in arrs) for d in range(arrs[0].ndim))
+            fill = _STACK_PAD.get(k, 0)
+            out = np.full((accum, *shape), fill, arrs[0].dtype)
+            for i, a in enumerate(arrs):
+                out[(i, *map(slice, a.shape))] = a
+            stacked[k] = out
+        yield stacked
+        group = []
+    if group:
+        dropped = len(group)
+        logging.info("stack_microbatches: dropped %d sub-accum tail microbatches", dropped)
 
 
 def collate_llm(batch: list[dict], cfg: LLMConfig, bistream_prob: float = 0.5, pad_multiple: int = 64, seed: int = 0, rng: random.Random | None = None) -> dict:

@@ -7,8 +7,10 @@ save_per_step intra-epoch checkpoints, utterance-weighted CV aggregation,
 averaging (bin/average_model.py).
 
 The DDP join/no_sync machinery disappears: batches-per-host are even by
-construction (data/dataset.py:shard_list) and grad accumulation lives in
-optax.MultiSteps.
+construction (data/dataset.py:shard_list) and grad accumulation lives
+inside the train step (lax.scan over stacked microbatches, one optimizer
+apply — trainer.make_*_train_step(accum=...); optax.MultiSteps remains as
+the legacy step-per-microbatch path).
 """
 
 from __future__ import annotations

@@ -135,7 +135,14 @@ def build_optimizer(
     adam/adamw × scheduler, global-norm clip, gradient accumulation.
 
     Inf/NaN-grad steps are skipped via optax.apply_if_finite, replacing the
-    reference's manual grad-norm isinf check (train_utils.py:305-315)."""
+    reference's manual grad-norm isinf check (train_utils.py:305-315).
+
+    accum_grad > 1 wraps optax.MultiSteps — the legacy step-per-microbatch
+    path. Prefer accum handled inside the train step
+    (trainer.make_*_train_step(accum=...) + data/dataset.stack_microbatches):
+    numerically identical (tests/test_train_accum.py) and ~1.5x faster at
+    the 0.5B recipe batch, since MultiSteps pays the adam sweep and a full
+    params/opt-state where-select on every microbatch call."""
     sched = SCHEDULERS[scheduler](lr, **(scheduler_conf or {}))
     if optim == "adam":
         core = optax.adam(sched)

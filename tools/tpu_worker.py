@@ -40,6 +40,18 @@ while True:
         seen.add(job.name)
         out_path = Path(str(job) + ".out")
         print(f"[worker] running {job.name}", flush=True)
+        # previous jobs' device arrays can outlive their namespace (jit
+        # caches, gc cycles, traceback frames) — sweep HBM clean so every
+        # job starts from an empty chip (a later job OOM'd on a (8,256)
+        # int32 put after two serving jobs had run)
+        import gc
+
+        gc.collect()
+        for arr in list(jax.live_arrays()):
+            try:
+                arr.delete()
+            except Exception:  # noqa: BLE001 — already-deleted/donated
+                pass
         t0 = time.time()
         try:
             code = compile(job.read_text(), str(job), "exec")
