@@ -568,29 +568,43 @@ class StreamScheduler:
     def close(self, handle: int) -> np.ndarray:
         with self._lock:
             g, slot = self.sessions.pop(handle)
-        with g._cond:
-            while g._stepping or g._collecting:
-                g._cond.wait(0.1)
-            g._stepping = True  # exclusive: drain remaining hops + finalize
-        try:
-            # drain only until OUR slot's full hops are consumed (finalize
-            # requires a sub-hop remainder); other slots' pending hops are
-            # swept along by the batched steps but don't gate this close —
-            # their own feeds' leaders will advance them. Simultaneous
-            # closes previously serialized on full-group drains.
-            drained = []
-            while g._hop_ready(slot):
-                chunks = g.step()
-                if not chunks:
-                    break
-                drained.extend(chunks)
-            tail = g.finish(slot)
-        finally:
+        # phase 1 (exclusive, only if needed): drain until OUR slot's full
+        # hops are consumed — finalize requires a sub-hop remainder. Other
+        # slots' pending hops are swept along by the batched steps but
+        # don't gate this close; their own feeds' leaders advance them.
+        drained = []
+        if g._hop_ready(slot):
             with g._cond:
-                self._distribute(g, drained)
-                g._stepping = False
-                del g._owners[slot]
-                g._cond.notify_all()
+                while g._stepping or g._collecting:
+                    g._cond.wait(0.1)
+                g._stepping = True
+            try:
+                while g._hop_ready(slot):
+                    chunks = g.step()
+                    if not chunks:
+                        break
+                    drained.extend(chunks)
+            finally:
+                with g._cond:
+                    self._distribute(g, drained)
+                    g._stepping = False
+                    g._cond.notify_all()
+        # phase 2 (concurrent): finalize touches only THIS slot's fs/vs
+        # state and READS the stacked tails/carries (a concurrent step
+        # where-masks inactive rows, so our row is bit-stable) —
+        # simultaneous closes no longer serialize on each other or block
+        # other sessions' feeds (previously 8 lockstep closes cost ~0.7 s
+        # of serialized tail at c=8). One in-flight step must drain first:
+        # it may have swept our slot's LAST ready hop and still be writing
+        # fs[slot].hops_done; steps that start after this point can never
+        # touch our slot (no owner feeds it, so it is never hop-ready).
+        with g._cond:
+            while g._stepping:
+                g._cond.wait(0.1)
+        tail = g.finish(slot)
+        with g._cond:
+            del g._owners[slot]
+            g._cond.notify_all()
         with self._lock:
             pending = self.buffers.pop(handle, [])
             self.free.setdefault(len(g.fs[slot].prompt_tokens), []).append((g, slot))
