@@ -102,6 +102,46 @@ def test_stack_microbatches_drops_tail(rng):
     assert len(out) == 1  # sub-accum tail dropped
 
 
+def test_flow_scan_accum_pad_rows_neutral(rng):
+    """Zero-length pad rows in a stacked FLOW microbatch are bit-neutral
+    (the CFM loss masks by feat_len), so stack_microbatches padding is
+    safe for flow training too."""
+    from fangyan_tts_tpu.config import DiTConfig, FlowConfig
+    from fangyan_tts_tpu.models.flow import CausalMaskedDiffWithDiT
+
+    dit = DiTConfig(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2, static_chunk_size=4)
+    fcfg = FlowConfig(input_size=80, vocab_size=32, dit=dit, n_timesteps=2)
+    flow = CausalMaskedDiffWithDiT(fcfg)
+
+    def mk(b, lt):
+        return {
+            "token": jnp.asarray(rng.integers(0, 32, (b, lt)).astype(np.int32)),
+            "token_len": jnp.full((b,), lt, jnp.int32),
+            "feat": jnp.asarray(rng.standard_normal((b, lt * 2, 80)).astype(np.float32)),
+            "feat_len": jnp.full((b,), lt * 2, jnp.int32),
+            "embedding": jnp.asarray(rng.standard_normal((b, 192)).astype(np.float32)),
+        }
+
+    mb0, mb1 = mk(2, 8), mk(2, 8)
+    params = fast_init(flow, 1, mb0["token"], mb0["token_len"], mb0["feat"],
+                       mb0["feat_len"], mb0["embedding"], jax.random.PRNGKey(2))
+    tx = build_optimizer(lr=1e-3, scheduler="constantlr")
+    step = trainer.make_flow_train_step(flow, tx, accum=2)
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), mb0, mb1)
+    sa, _ = step(trainer.init_state(params, tx), stacked, jax.random.PRNGKey(0))
+
+    def padrow(mb):
+        pads = {"token": np.zeros((1, 8), np.int32), "token_len": np.zeros((1,), np.int32),
+                "feat": np.zeros((1, 16, 80), np.float32), "feat_len": np.zeros((1,), np.int32),
+                "embedding": np.zeros((1, 192), np.float32)}
+        return {k: jnp.concatenate([mb[k], jnp.asarray(pads[k])]) for k in mb}
+
+    stacked_p = jax.tree.map(lambda a, b: jnp.stack([a, b]), padrow(mb0), padrow(mb1))
+    sb, _ = step(trainer.init_state(params, tx), stacked_p, jax.random.PRNGKey(0))
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_scan_accum_pad_rows_do_not_change_grads(rng):
     """A stacked pair whose second microbatch has a zero-length pad row
     must produce the same update as the unpadded pair (loss masks it)."""
