@@ -66,6 +66,27 @@ def test_llm_pipeline(corpus):
             assert b["targets"][i, l - 1] in (LLM_CFG.eos, LLM_CFG.fill)
 
 
+def test_llm_pipeline_stacked_for_accum(corpus):
+    """cli/train's accum path: real pipeline batches stack into (accum, B, L)
+    microbatch stacks a scan-accum train step consumes directly."""
+    from fangyan_tts_tpu.data.dataset import stack_microbatches
+
+    tok = ByteFallbackTokenizer()
+    mel_fn = jax.jit(lambda a: matcha_mel(jnp.asarray(a)))
+    it = build_pipeline(str(corpus / "data.list"), tok, mel_fn, mode="llm",
+                        llm_cfg=LLM_CFG, max_frames_in_batch=300)
+    stacks = list(stack_microbatches(it, accum=2))
+    assert stacks, "no stacked batches"
+    for s in stacks:
+        assert s["src"].ndim == 3 and s["src"].shape[0] == 2
+        assert s["lengths"].shape[0] == 2
+        # pad rows (if any) are loss-inert
+        for m in range(2):
+            for i in range(s["src"].shape[1]):
+                if s["lengths"][m, i] == 0:
+                    assert (s["targets"][m, i] == -1).all()
+
+
 def test_flow_pipeline(corpus):
     tok = ByteFallbackTokenizer()
     mel_fn = jax.jit(lambda a: matcha_mel(jnp.asarray(a)))
