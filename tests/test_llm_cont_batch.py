@@ -7,6 +7,7 @@ Reference role: TRT-LLM inflight batching inside the Triton serving stack
 (CosyVoice/runtime/triton_trtllm/README.md:95-124)."""
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -183,9 +184,63 @@ def test_batched_prefill_window_aligns_sessions(tiny_tts):
     assert not errs, errs
     for i in range(4):
         np.testing.assert_array_equal(got[i], want[i], err_msg=f"session {i}")
-    # all four opens fit one 0.5 s window -> one batched prefill call
-    assert max(calls) >= 2, f"no batched prefill happened: widths {calls}"
-    assert sum(calls) == 4, f"prefilled rows != sessions: widths {calls}"
+    # all four opens fit one 0.5 s window -> ONE batched prefill call;
+    # prefill always runs at full group width (cohort rows padded, dropped
+    # by the masked insert) so every call's batch dim == scheduler width
+    assert len(calls) == 1, f"expected one shared prefill: widths {calls}"
+    assert calls == [4], f"prefill must run at group width: {calls}"
+
+
+def test_cohort_split_matches_solo(tiny_tts):
+    """Regression: opens split across SEVERAL arrival windows (e.g. 3+5 at
+    width 8 — the split that compiled a fresh (k, tp) prefill mid-run
+    before prefill went fixed-width) still produce byte-identical streams,
+    and every prefill call is full-width."""
+    import fangyan_tts_tpu.infer.llm_batch as lb
+
+    rng = np.random.default_rng(11)
+    n = 6
+    texts = [rng.integers(0, 40, (8,)).astype(np.int32) for _ in range(n)]
+    keys = [jax.random.PRNGKey(900 + i) for i in range(n)]
+    want = [_solo(tiny_tts, texts[i], keys[i]) for i in range(n)]
+
+    calls = []
+    orig = lb.decode_prefill
+
+    def counting_prefill(model, params, src, *a, **k):
+        calls.append(int(src.shape[0]))
+        return orig(model, params, src, *a, **k)
+
+    lb.decode_prefill = counting_prefill
+    try:
+        # tiny window: the two client bursts (3 then 3, staggered past the
+        # window) land in separate cohorts
+        sched = LLMScheduler(tiny_tts, width=n, prewarm=True, prefill_window_s=0.05)
+        got = [None] * n
+        errs = []
+
+        def client(i):
+            try:
+                h = sched.open(texts[i], min_token_text_ratio=6.0,
+                               max_token_text_ratio=6.0, key=keys[i])
+                chunks = list(sched.stream(h))
+                got[i] = np.concatenate(chunks) if chunks else np.zeros(0, np.int32)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        first = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+        [t.start() for t in first]
+        time.sleep(0.4)  # let the first cohort's window close
+        rest = [threading.Thread(target=client, args=(i,)) for i in range(3, n)]
+        [t.start() for t in rest]
+        [t.join() for t in first + rest]
+    finally:
+        lb.decode_prefill = orig
+    assert not errs, errs
+    for i in range(n):
+        np.testing.assert_array_equal(got[i], want[i], err_msg=f"session {i}")
+    assert len(calls) >= 2, f"expected a cohort split: widths {calls}"
+    assert all(c == n for c in calls), f"every prefill must be full-width: {calls}"
 
 
 def test_abandoned_stream_releases_slot(tiny_tts):
