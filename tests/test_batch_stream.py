@@ -1,6 +1,8 @@
 """Batched concurrent streaming (infer/batch_stream.py) must produce the
 same audio per slot as N independent single-stream sessions."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -206,6 +208,53 @@ def test_scheduler_async_clients(tiny_tts):
 
 
 @pytest.mark.slow
+def test_scheduler_threaded_churn_with_concurrent_closes(tiny_tts):
+    """Concurrency soak for the lock structure: more client threads than
+    scheduler width, random per-thread pacing, so closes overlap other
+    threads' feed-driven steps AND each other (close() finalizes OUTSIDE
+    the exclusive step lock — the bit-stability of inactive rows under
+    concurrent steps is what this exercises). Every session's audio must
+    match its solo replay."""
+    import threading
+
+    from fangyan_tts_tpu.infer.batch_stream import StreamScheduler
+    from fangyan_tts_tpu.infer.stream import Token2WavSession
+
+    sched = StreamScheduler(tiny_tts, width=4)
+    pfeat = np.zeros((0, 80), np.float32)
+    n_clients = 6
+    results = [None] * n_clients
+    errs = []
+
+    def client(i):
+        try:
+            rng = np.random.default_rng(100 + i)
+            tokens = rng.integers(0, 60, size=int(rng.integers(120, 200))).astype(np.int32)
+            emb = rng.standard_normal(192).astype(np.float32)
+            h = sched.open(np.zeros(0, np.int32), pfeat, emb)
+            chunks, pos = [], 0
+            while pos < len(tokens):
+                step = int(rng.integers(30, 70))
+                chunks += sched.feed(h, tokens[pos : pos + step])
+                pos += step
+                if rng.random() < 0.3:
+                    time.sleep(rng.random() * 0.02)
+            chunks.append(sched.close(h))
+            results[i] = (tokens, emb, np.concatenate(chunks))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs, errs
+    for i, (tokens, emb, got) in enumerate(results):
+        sess = Token2WavSession(tiny_tts, np.zeros(0, np.int32), pfeat, emb)
+        want = np.concatenate(sess.push(tokens) + [sess.finish()])
+        assert got.shape == want.shape, f"client {i}"
+        assert np.abs(got - want).max() < 2e-3, f"client {i}"
+
+
 def test_scheduler_session_churn(tiny_tts):
     """Randomized open/feed/close churn across prompt-length groups: slots
     must recycle cleanly and every session's audio must match its direct
