@@ -579,11 +579,17 @@ class StreamScheduler:
                     g._cond.wait(0.1)
                 g._stepping = True
             try:
+                # progress-based loop: stop only when OUR slot is no longer
+                # hop-ready or its offset stops advancing (a step may emit
+                # zero audio chunks yet still consume our hop; breaking on
+                # empty chunks would let phase 2 run finish() while the
+                # slot is still ready, unprotected against a later step)
                 while g._hop_ready(slot):
+                    before = g.token_offset[slot]
                     chunks = g.step()
-                    if not chunks:
-                        break
                     drained.extend(chunks)
+                    if g.token_offset[slot] == before:
+                        break
             finally:
                 with g._cond:
                     self._distribute(g, drained)

@@ -159,11 +159,11 @@ _UNITS_MAP_ZH = [
 ]
 
 # characters after which a standalone 2 reads 两 (measure words, clock 点,
-# scale words 万/亿); 月/日/号 deliberately absent (2月 = 二月)
+# scale words 万/亿/千/百); 月/日/号 deliberately absent (2月 = 二月)
 _LIANG_FOLLOWERS = (
     "个只本条张次位名件台辆架间家场篇首座颗棵粒艘顶杯瓶碗盘块枚匹头罐桶袋箱层栋排"
     "对双份节段句行页幅卷册部集支把口亩级倍人天年周岁点分秒小站轮届门道笔锅组队幢"
-    "万亿"
+    "万亿千百"
 )
 
 _CURRENCY_ZH = {"￥": "元", "¥": "元", "$": "美元", "€": "欧元", "£": "英镑"}
@@ -276,10 +276,11 @@ def normalize_categories_zh(text: str) -> str:
     # leftover range tildes between already-normalized spans
     text = text.replace("~", "到").replace("～", "到")
     # 二/两 distinction (wetext char.fst): a STANDALONE digit 2 directly
-    # before a measure word / 点(clock) / 万亿 reads 两, not 二 (2个->两个,
-    # 2点->两点, 2万->两万). Multi-digit numbers keep 二 (12个->十二个), and
-    # calendar 月/日/号 keep 二 (2月->二月), so both are excluded.
-    text = re.sub(r"(?<![\d.])2(?=[" + _LIANG_FOLLOWERS + r"])", "两", text)
+    # before a measure word / 点(clock) / 万亿千百 reads 两, not 二 (2个->两个,
+    # 2点->两点, 2万->两万). Multi-digit numbers keep 二 (12个->十二个),
+    # calendar 月/日/号 keep 二 (2月->二月), and ordinals keep 二 (第2次->
+    # 第二次, matching wetext's 第-prefixed ordinal path) — all excluded.
+    text = re.sub(r"(?<![\d.第])2(?=[" + _LIANG_FOLLOWERS + r"])", "两", text)
     return text
 
 

@@ -93,6 +93,14 @@ ZH_CASES = [
     ("排队的有12个人。", "排队的有十二个人。"),
     ("2月2日出发。", "二月二日出发。"),
     ("得了2分。", "得了两分。"),
+    # ordinals keep 二 (第-prefix excludes the 两 rule; wetext keeps 第二)
+    ("第2次见面。", "第二次见面。"),
+    ("他拿了第2名。", "他拿了第二名。"),
+    ("请看第2页。", "请看第二页。"),
+    # scale words 千/百 read 两 like 万/亿
+    ("大约2千人。", "大约两千人。"),
+    ("捐了2百元。", "捐了两百元。"),
+    ("共12千克。", "共十二千克。"),
 ]
 
 EN_CASES = [

@@ -43,9 +43,15 @@ while True:
         # previous jobs' device arrays can outlive their namespace (jit
         # caches, gc cycles, traceback frames) — sweep HBM clean so every
         # job starts from an empty chip (a later job OOM'd on a (8,256)
-        # int32 put after two serving jobs had run)
+        # int32 put after two serving jobs had run). Repo modules cached in
+        # sys.modules can hold module-level device buffers (noise/constant
+        # caches on long-lived objects); deleting those arrays while the
+        # module survives leaves dangling 'Array has been deleted' refs —
+        # purge the modules too so a later job rebuilds its caches.
         import gc
 
+        for mod in [m for m in sys.modules if m.startswith("fangyan_tts_tpu")]:
+            del sys.modules[mod]
         gc.collect()
         for arr in list(jax.live_arrays()):
             try:
