@@ -16,6 +16,11 @@ EXP_DIR=${EXP_DIR:-exp/dialect/llm}
 PRETRAIN_DIR=${PRETRAIN_DIR:-pretrained_models/Fun-CosyVoice3-0.5B}
 MESH=${MESH:-dp=1}
 PY=${PY:-python}
+# test/CI knobs (reference defaults when unset)
+CONFIG=${CONFIG:-}                    # json config for tiny-dim runs
+MAX_EPOCH=${MAX_EPOCH:-200}
+MAX_FRAMES=${MAX_FRAMES:-2000}
+NUM_UTTS_PER_PARQUET=${NUM_UTTS_PER_PARQUET:-1000}
 
 if [ $stage -le 0 ] && [ $stop_stage -ge 0 ]; then
   echo "stage 0: data check (instruct must exist)"
@@ -38,9 +43,17 @@ fi
 if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
   echo "stage 3: parquet packing (+train/cv split: last shard is cv)"
   $PY -m fangyan_tts_tpu.cli.make_parquet_list --instruct \
+      --num_utts_per_parquet "$NUM_UTTS_PER_PARQUET" \
       --src_dir "$DATA_DIR" --des_dir "$PARQUET_DIR"
-  head -n -1 "$PARQUET_DIR/data.list" > "$PARQUET_DIR/train.data.list"
-  tail -n 1 "$PARQUET_DIR/data.list" > "$PARQUET_DIR/cv.data.list"
+  # last shard is cv; with a single shard train==cv (the reference's
+  # run.sh:116-123 does the same for 1-parquet corpora)
+  if [ "$(wc -l < "$PARQUET_DIR/data.list")" -le 1 ]; then
+    cp "$PARQUET_DIR/data.list" "$PARQUET_DIR/train.data.list"
+    cp "$PARQUET_DIR/data.list" "$PARQUET_DIR/cv.data.list"
+  else
+    head -n -1 "$PARQUET_DIR/data.list" > "$PARQUET_DIR/train.data.list"
+    tail -n 1 "$PARQUET_DIR/data.list" > "$PARQUET_DIR/cv.data.list"
+  fi
 fi
 
 # stage 4 in the reference rewrites relative->absolute paths; our packer
@@ -53,7 +66,9 @@ if [ $stage -le 5 ] && [ $stop_stage -ge 5 ]; then
       --cv_data "$PARQUET_DIR/cv.data.list" \
       --model_dir "$EXP_DIR" --mesh "$MESH" \
       --qwen_pretrain_path "$PRETRAIN_DIR/tokenizer" \
-      --lr 1e-5 --scheduler constantlr --accum_grad 2 --max_epoch 200
+      ${CONFIG:+--config "$CONFIG"} \
+      --max_frames_in_batch "$MAX_FRAMES" \
+      --lr 1e-5 --scheduler constantlr --accum_grad 2 --max_epoch "$MAX_EPOCH"
 fi
 
 if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then

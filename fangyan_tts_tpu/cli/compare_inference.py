@@ -92,6 +92,7 @@ def main(argv=None) -> None:
     parser.add_argument("--prompt_wav", type=str, required=True)
     parser.add_argument("--output_dir", type=str, default="./comparison_output")
     parser.add_argument("--dialects", nargs="*", default=None, help="subset of dialects to run")
+    parser.add_argument("--num_texts", type=int, default=None, help="first N sentences per dialect (default: all)")
     args = parser.parse_args(argv)
 
     output_dir = Path(args.output_dir)
@@ -102,7 +103,7 @@ def main(argv=None) -> None:
         if args.dialects and name not in args.dialects:
             continue
         instruct = "" if name == "mandarin" else f"请用{DIALECT_DISPLAY.get(name, name)}说。<|endofprompt|>"
-        for i, text in enumerate(texts, 1):
+        for i, text in enumerate(texts[: args.num_texts], 1):
             test_cases.append({"name": name, "text": text, "instruct": instruct, "index": i})
 
     if not os.path.exists(args.pretrained_dir):

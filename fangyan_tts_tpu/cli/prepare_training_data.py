@@ -232,7 +232,9 @@ def main(argv: list[str] | None = None) -> None:
         print(f"  - {d} ({DIALECT_NAMES.get(d, d)})")
     print(f"合并目录: {combined_dir}")
     print("=" * 60)
-    if not dialects:
+    if not dialects and not (args.mode == "validate" and combined_dir.exists()):
+        # validate-mode runs on a combined-only tree (recipe stage 0 checks
+        # the merged dir after per-dialect prep happened elsewhere)
         print("❌ 没有找到任何方言数据目录")
         sys.exit(1)
 
