@@ -28,7 +28,7 @@ import numpy as np
 
 from ..models.flow import CausalMaskedDiffWithDiT, cfm_solve
 from ..models.hift import CausalHiFT
-from .stream import FlowStream, VocStream
+from .stream import F_CAP, FlowStream, VocStream
 
 # young-hop token-length bucket: coarse enough that a group's whole bucket
 # ladder is ~5 programs (prewarm()), fine enough that early hops don't pay
@@ -152,6 +152,62 @@ class BatchedStreamGroup:
             t._batch_jit[key] = fn
         return t._batch_jit[key]
 
+    def _flow_fin_batch_fn(self):
+        """Batched flow FINALIZE (window regime): per-row remainder lengths,
+        full group width, masked by per-row n_rem — the batch counterpart of
+        FlowStream.finalize's `_window_fn(True)` path (stream.py), emitting
+        per-row (F_CAP, 80) zero-left-padded remainders byte-identical to
+        the solo program's dynamic_slice."""
+        t = self.t
+        key = ("bflowfin", self.n, self.fs[0].P, self.pad)
+        if key not in t._batch_jit:
+            flow, fcfg = t.flow, t.cfg.flow
+            W, ratio, P = self.W, self.fs[0].ratio, self.fs[0].P
+            P_mel = int(self.pf.shape[1])
+            n_tok = P + W  # finalize window carries no lookahead
+            l_mel = (P + W) * ratio
+
+            @jax.jit
+            def fn(p, token_win, pf, pf_len, emb, noise_buf, tgt_starts, n_rems):
+                b = token_win.shape[0]
+                mu, spks, conds, mel_len = flow.apply(
+                    {"params": p}, token_win, jnp.full((b,), n_tok, jnp.int32),
+                    pf, pf_len, emb, finalize=True,
+                    method=CausalMaskedDiffWithDiT.prepare_inference,
+                )
+                zp = jnp.broadcast_to(noise_buf[:, :P_mel], (b, P_mel, noise_buf.shape[2]))
+                start = jnp.mod(P_mel + tgt_starts * ratio, noise_buf.shape[1] - W * ratio)
+                idx = start[:, None] + jnp.arange(W * ratio)[None, :]
+                zt = noise_buf[0][idx]
+                z = jnp.concatenate([zp, zt], axis=1).astype(mu.dtype)
+                mel = cfm_solve(fcfg, p["estimator"], z, mu, spks, conds, mel_len, streaming=True)
+                padded = jnp.pad(mel, ((0, 0), (0, F_CAP), (0, 0)))
+                idx2 = (l_mel - n_rems)[:, None] + jnp.arange(F_CAP)[None, :]
+                return jnp.take_along_axis(padded, idx2[:, :, None], axis=1)  # (B, F_CAP, 80)
+
+            t._batch_jit[key] = fn
+        return t._batch_jit[key]
+
+    def _voc_fin_batch_fn(self):
+        """Batched vocoder FINALIZE for steady slots (k_base = 2H): per-row
+        n_valid/carry/noise-offset, one finalize_window call for the whole
+        closing cohort (VocStream.finalize semantics, stream.py:182-205)."""
+        t = self.t
+        key = ("bvocfin", self.n)
+        if key not in t._batch_jit:
+            hift, H = t.hift, self.H
+
+            @jax.jit
+            def fn(params, tails, f_pads, n_valids, carries, offs, noise_buf):
+                window = jnp.concatenate([tails[:, -2 * H:], f_pads], axis=1)
+                return hift.apply(
+                    {"params": params}, window, n_valids[:, None, None], carries, offs,
+                    noise_buf, method=CausalHiFT.finalize_window,
+                )
+
+            t._batch_jit[key] = fn
+        return t._batch_jit[key]
+
     def _voc_batch_fn(self):
         t = self.t
         key = ("bvoc", self.n)
@@ -211,6 +267,14 @@ class BatchedStreamGroup:
         vfn(self.t.hift_params, self.tails, jnp.zeros((n, self.H, mel_c), self.t.dtype),
             self.carries, jnp.zeros((n,), jnp.int32), jnp.zeros((n,), bool),
             self.vs[0]._noise_buf())
+        # batched finalize pair (the close-cohort path, finish_many)
+        self._flow_fin_batch_fn()(
+            self.t.flow_params, jnp.zeros((n, P + self.W), jnp.int32), self.pf, pf_len,
+            self.emb, noise, jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32))
+        self._voc_fin_batch_fn()(
+            self.t.hift_params, self.tails, jnp.zeros((n, F_CAP, mel_c), self.t.dtype),
+            jnp.full((n,), 2 * self.H, jnp.int32), self.carries,
+            jnp.zeros((n,), jnp.int32), self.vs[0]._noise_buf())
         v0 = self.vs[0]
         for variant in ("young1", "young2", "first"):
             pfn = v0._push_fn(variant)
@@ -394,6 +458,61 @@ class BatchedStreamGroup:
         f_pad, n_rem = f.finalize(self.tokens[slot])
         return v.finalize(f_pad, n_rem)
 
+    def finish_many(self, slots: list) -> dict:
+        """Flush several slots at once. Steady closing slots (past the flow
+        window AND vocoder push 3, the c=8 common case — every 8 s stream
+        closes steady) share ONE batched flow-finalize + ONE batched
+        vocoder-finalize program pair instead of 2 device calls each; young
+        or empty slots fall back to the per-slot exact path. Byte-identical
+        to sequential finish() calls (tests/test_batch_stream.py)."""
+        out: dict = {}
+        batched = []
+        for i in slots:
+            n_t = len(self.tokens[i])
+            n_rem = n_t * self.fs[i].ratio - self.fs[i].hops_done * self.H
+            k = self.pushes[i]
+            if n_t >= self.W and k >= 3 and k * self.H + n_rem > 0:
+                batched.append((i, n_t, n_rem))
+            else:
+                out[i] = self.finish(i)
+        if len(batched) == 1:
+            i = batched[0][0]
+            out[i] = self.finish(i)
+            return out
+        if not batched:
+            return out
+
+        P, W, H, ratio = self.fs[0].P, self.W, self.H, self.fs[0].ratio
+        tok = np.zeros((self.n, P + W), np.int32)
+        tgt_starts = np.zeros(self.n, np.int32)
+        n_rems = np.zeros(self.n, np.int32)
+        for i, n_t, n_rem in batched:
+            tok[i] = np.concatenate([self.fs[i].prompt_tokens, self.tokens[i][n_t - W:]])
+            tgt_starts[i] = n_t - W
+            n_rems[i] = n_rem
+        pf_len = jnp.full((self.n,), self.pf.shape[1], jnp.int32)
+        f_pads = self._flow_fin_batch_fn()(
+            self.t.flow_params, jnp.asarray(tok), self.pf, pf_len, self.emb,
+            self.fs[0]._noise_buf(), jnp.asarray(tgt_starts), jnp.asarray(n_rems),
+        )
+
+        n_valids = np.full(self.n, 2 * H, np.int32)
+        offs = np.zeros(self.n, np.int32)
+        for i, _, n_rem in batched:
+            n_valids[i] = 2 * H + n_rem
+            offs[i] = (self.pushes[i] * H - 2 * H) * 480
+        audio = self._voc_fin_batch_fn()(
+            self.t.hift_params, self.tails, f_pads.astype(self.t.dtype),
+            jnp.asarray(n_valids), self.carries, jnp.asarray(offs),
+            self.vs[0]._noise_buf(),
+        )
+        audio_np = np.asarray(audio.astype(jnp.float32))
+        for i, _, n_rem in batched:
+            # steady emitted = (k-1)*H; window-relative start is always H
+            # (VocStream.finalize: start = emitted - (total - n_valid))
+            out[i] = audio_np[i, H * 480 : (2 * H + n_rem) * 480]
+        return out
+
     def reset_slot(self, slot: int, prompt_token, prompt_feat, embedding) -> None:
         """Recycle a finished slot for a new session (same prompt shape)."""
         prompt_token = np.asarray(prompt_token, np.int32)
@@ -455,6 +574,9 @@ class StreamScheduler:
         g._cond = self._threading.Condition()
         g._stepping = False  # a thread is running g.step()/finish() exclusively
         g._collecting = False  # a leader is inside its arrival window
+        g._close_pending = {}  # slot -> True: drained, awaiting batched finalize
+        g._close_results = {}  # slot -> tail audio (set by a finalize leader)
+        g._finalizing = False  # a leader is running finish_many()
 
     def open(self, prompt_token, prompt_feat, embedding) -> int:
         with self._lock:
@@ -595,22 +717,53 @@ class StreamScheduler:
                     self._distribute(g, drained)
                     g._stepping = False
                     g._cond.notify_all()
-        # phase 2 (concurrent): finalize touches only THIS slot's fs/vs
-        # state and READS the stacked tails/carries (a concurrent step
-        # where-masks inactive rows, so our row is bit-stable) —
-        # simultaneous closes no longer serialize on each other or block
-        # other sessions' feeds (previously 8 lockstep closes cost ~0.7 s
-        # of serialized tail at c=8). One in-flight step must drain first:
-        # it may have swept our slot's LAST ready hop and still be writing
+        # phase 2 (batched-cohort finalize): closers meeting within one
+        # arrival window share ONE full-width masked finalize program pair
+        # (finish_many) instead of 2 device calls each — at c=8 the 16
+        # serialized per-slot finalize calls were the measured p99
+        # inter-chunk-gap tail. finish_many touches only the closing slots'
+        # fs/vs state and READS the stacked tails/carries (a concurrent
+        # step where-masks inactive rows, so those rows are bit-stable), so
+        # it runs OUTSIDE the exclusive step lock and never blocks other
+        # sessions' feeds. One in-flight step must drain first: it may have
+        # swept our slot's LAST ready hop and still be writing
         # fs[slot].hops_done; steps that start after this point can never
-        # touch our slot (no owner feeds it, so it is never hop-ready).
+        # touch a closing slot (no owner feeds it, so it is never
+        # hop-ready).
         with g._cond:
             while g._stepping:
                 g._cond.wait(0.1)
-        tail = g.finish(slot)
-        with g._cond:
+            g._close_pending[slot] = True
+            g._cond.notify_all()
+            deadline = self._monotonic() + self.window_s
+            while slot not in g._close_results:
+                if g._finalizing:
+                    g._cond.wait(0.05)  # a leader is on-device; our result lands next
+                    continue
+                open_others = len(g._owners) - len(g._close_pending)
+                remaining = deadline - self._monotonic()
+                if open_others > 0 and remaining > 0:
+                    g._cond.wait(remaining)  # more closers may arrive
+                    continue
+                # become the finalize leader for the current cohort
+                cohort = list(g._close_pending)
+                g._close_pending.clear()
+                g._finalizing = True
+                g._cond.release()
+                try:
+                    res = g.finish_many(cohort)
+                except Exception as e:  # noqa: BLE001 — every cohort member must unblock
+                    res = {s: e for s in cohort}
+                finally:
+                    g._cond.acquire()
+                    g._close_results.update(res)
+                    g._finalizing = False
+                    g._cond.notify_all()
+            tail = g._close_results.pop(slot)
             del g._owners[slot]
             g._cond.notify_all()
+        if isinstance(tail, Exception):
+            raise tail
         with self._lock:
             pending = self.buffers.pop(handle, [])
             self.free.setdefault(len(g.fs[slot].prompt_tokens), []).append((g, slot))

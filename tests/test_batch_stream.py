@@ -299,3 +299,54 @@ def test_scheduler_session_churn(tiny_tts):
         want = np.concatenate(sess.push(tokens) + [sess.finish()])
         assert got.shape == want.shape
         assert np.abs(got - want).max() < 2e-3
+
+
+@pytest.mark.slow
+def test_finish_many_equals_sequential_finish(tiny_tts):
+    """Batched cohort finalize (finish_many — the close-tail fix: one
+    flow+vocoder finalize program pair for all steady closing slots) must be
+    byte-identical to per-slot finish(), including mixed cohorts where one
+    slot is still young (falls back to the exact per-slot path)."""
+    from fangyan_tts_tpu.infer.batch_stream import BatchedStreamGroup
+
+    rng = np.random.default_rng(5)
+    n_slots = 4
+    # slots 0-2 steady (past the window + push 3); slot 3 young (short)
+    n_tok = [213, 188, 240, 60]
+    toks = [rng.integers(0, 60, size=n).astype(np.int32) for n in n_tok]
+    embs = [rng.standard_normal(192).astype(np.float32) for _ in range(n_slots)]
+    pfeat = np.zeros((0, 80), np.float32)
+    ptok = np.zeros(0, np.int32)
+
+    def run(group_finish):
+        g = BatchedStreamGroup(tiny_tts, [(ptok, pfeat, e) for e in embs])
+        got = [[] for _ in range(n_slots)]
+        pos = [0] * n_slots
+        while True:
+            fed = False
+            for i in range(n_slots):
+                if pos[i] < n_tok[i]:
+                    g.feed(i, toks[i][pos[i] : pos[i] + 64])
+                    pos[i] += 64
+                    fed = True
+            chunks = g.step()
+            for slot, audio in chunks:
+                got[slot].append(audio)
+            if not fed and not chunks:
+                break
+        tails = group_finish(g)
+        for i in range(n_slots):
+            got[i].append(tails[i])
+        return [np.concatenate(c) for c in got]
+
+    seq = run(lambda g: {i: g.finish(i) for i in range(n_slots)})
+    bat = run(lambda g: g.finish_many(list(range(n_slots))))
+    for i in range(n_slots):
+        assert seq[i].shape == bat[i].shape, f"slot {i}: {bat[i].shape} vs {seq[i].shape}"
+        # bs=N vs bs=1 XLA fusion differences only (measured ~2e-8); the
+        # young slot (3) goes through the identical per-slot path -> exact
+        assert np.abs(seq[i] - bat[i]).max() < 1e-6, (
+            f"slot {i} batched finalize deviates by {np.abs(seq[i] - bat[i]).max()}"
+        )
+        if i == 3:
+            assert np.abs(seq[i] - bat[i]).max() == 0.0
