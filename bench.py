@@ -13,11 +13,13 @@ Prints JSON metric lines (driver contract: {"metric", "value", "unit",
    (LLM first hop + KV-cached flow prefill + vocoder first window).
    Baseline: reference Triton streaming c=1 avg 220.43 ms
    (runtime/triton_trtllm/README.md:95-97).
-3. streaming_async_c4_rtf / _c8_rtf — N asynchronous client threads, each
-   running its own incremental LLM decode and feeding the StreamScheduler
-   (dynamic batching window); carries p99 inter-chunk gap + underrun count
-   (playback-starvation UX). Baseline: reference Triton streaming c=4 RTF
-   0.0733 (runtime/triton_trtllm/README.md:101; no c=8 row published).
+3. streaming_async_c{4,8,12,16}_rtf + streaming_max_underrun_free_c — N
+   asynchronous client threads, each running its own incremental LLM decode
+   and feeding the StreamScheduler (dynamic batching window); carries p99
+   inter-chunk gap + underrun count (playback-starvation UX) per load
+   point, and the measured underrun-free concurrency ceiling of the chip.
+   Baseline: reference Triton streaming c=4 RTF 0.0733
+   (runtime/triton_trtllm/README.md:101; no higher-c rows published).
 4. llm_train_tokens_per_s_per_chip — full-size stage-5 fine-tune step
    (0.5B bf16 compute / fp32 adam, 2048-token batch, accum 2) timed on the
    chip, + flow step ms and achieved MFU (docs/train_perf.md roofline).
@@ -94,20 +96,41 @@ def bench_data_prep(rng) -> None:
     from fangyan_tts_tpu.models.s3tokenizer import S3TokenizerV3
     from fangyan_tts_tpu.utils.init import fast_init
 
-    n_utts, sr, dur_s = 128, 16000, 5.0
+    n_utts, sr = 128, 16000
+    # mixed 5-30 s utterances (short-weighted like real speech corpora; mean
+    # ~13 s — the old corpus was uniform 5 s, understating per-utt audio)
+    dur_cycle = (5, 6, 8, 10, 12, 15, 20, 30)
     root = tempfile.mkdtemp(prefix="bench_dataprep_")
     raw = os.path.join(root, "raw")
     os.makedirs(raw)
     # corpus synthesis = the API/TPU generation phase, NOT stages 0-4: write
     # the wavs before the timer (run.sh stage 0 starts from existing audio)
-    t = np.arange(int(sr * dur_s)) / sr
     texts = {}
+    mp3_utts = []
+    ffmpeg = shutil.which("ffmpeg")
+    total_audio_s = 0.0
     for i in range(n_utts):
+        dur_s = dur_cycle[i % len(dur_cycle)]
+        total_audio_s += dur_s
+        t = np.arange(int(sr * dur_s)) / sr
         f0 = 80.0 + 10.0 * (i % 12)
         audio = 0.3 * np.sin(2 * np.pi * f0 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 3.1 * t))
         audio += 0.02 * rng.standard_normal(len(t))
-        _write_wav(os.path.join(raw, f"utt{i:04d}.wav"), audio.astype(np.float32), sr)
+        wav = os.path.join(raw, f"utt{i:04d}.wav")
+        _write_wav(wav, audio.astype(np.float32), sr)
+        # MP3 leg for 1 in 8 utts (run.sh stage-0 convert semantics,
+        # prepare_training_data.py MP3->WAV); needs ffmpeg — absent from
+        # this image, so it only exercises on ffmpeg-bearing hosts
+        if ffmpeg and i % 8 == 0:
+            import subprocess
+
+            mp3 = wav[:-4] + ".mp3"
+            subprocess.run([ffmpeg, "-loglevel", "error", "-y", "-i", wav, mp3], check=True)
+            os.remove(wav)
+            mp3_utts.append(f"utt{i:04d}")
         texts[f"utt{i:04d}"] = f"这是第{i}句合成测试文本。"
+    if not ffmpeg:
+        log("data prep: no ffmpeg in image -> MP3 leg skipped (wav-only corpus)")
 
     # models: random init, full-size architecture (same compute as converted
     # weights); bf16 params
@@ -130,16 +153,25 @@ def bench_data_prep(rng) -> None:
 
     def kaldi_prep(data_dir):
         """Stage 0: kaldi files + instruct + validation (run.sh:13-21,
-        prepare_training_data.py --mode validate semantics)."""
+        prepare_training_data.py --mode validate semantics). MP3 sources are
+        decoded to WAV here — the reference's convert_audio_files step."""
         os.makedirs(data_dir, exist_ok=True)
         utts = sorted(texts)
+        wav_paths = {u: os.path.join(raw, u + ".wav") for u in utts}
+        for u in mp3_utts:
+            import subprocess
+
+            out = os.path.join(data_dir, u + ".wav")
+            subprocess.run([ffmpeg, "-loglevel", "error", "-y", "-i",
+                            os.path.join(raw, u + ".mp3"), out], check=True)
+            wav_paths[u] = out
         with open(os.path.join(data_dir, "wav.scp"), "w") as fw, \
              open(os.path.join(data_dir, "text"), "w") as ft, \
              open(os.path.join(data_dir, "utt2spk"), "w") as fu, \
              open(os.path.join(data_dir, "instruct"), "w") as fi:
             for u in utts:
                 spk = f"spk{int(u[3:]) % 8}"
-                fw.write(f"{u} {os.path.join(raw, u + '.wav')}\n")
+                fw.write(f"{u} {wav_paths[u]}\n")
                 ft.write(f"{u} {texts[u]}\n")
                 fu.write(f"{u} {spk}\n")
                 fi.write(f"{u} 请用普通话说。<|endofprompt|>\n")
@@ -156,18 +188,32 @@ def bench_data_prep(rng) -> None:
                 counts[name] = sum(1 for _ in f)
         assert len(set(counts.values())) == 1, f"kaldi line counts differ: {counts}"
 
+    # stage 4 tokenizer: the REAL v1 tiktoken tokenizer when its rank file
+    # is present (the reference ships it in-tree,
+    # cosyvoice/tokenizer/assets/multilingual_zh_ja_yue_char_del.tiktoken);
+    # byte stand-in otherwise so the stage still runs on asset-less hosts
+    _v1_vocab = "/root/reference/CosyVoice/cosyvoice/tokenizer/assets/multilingual_zh_ja_yue_char_del.tiktoken"
+    if os.path.exists(_v1_vocab):
+        from fangyan_tts_tpu.tokenizer.tokenizer import get_tokenizer
+
+        stage4_tok = get_tokenizer(vocab_path=_v1_vocab)
+        tok_name = "v1-tiktoken"
+    else:
+        class _Tok:
+            def encode(self, s, **kw):
+                return list(s.encode("utf-8"))
+
+        stage4_tok = _Tok()
+        tok_name = "byte-standin"
+
     def train_ready_check(list_path) -> int:
         """Stage 4: the training pipeline must yield a collated LLM batch
         from the packed shards (data/dataset.py build_pipeline)."""
         from fangyan_tts_tpu.config import CosyVoiceConfig
         from fangyan_tts_tpu.data.dataset import build_pipeline
 
-        class _Tok:  # byte tokenizer stand-in: stage 4 checks plumbing/shapes
-            def encode(self, s, **kw):
-                return list(s.encode("utf-8"))
-
         cfg = CosyVoiceConfig()
-        it = build_pipeline(str(list_path), _Tok(), mel_fn=None, mode="llm",
+        it = build_pipeline(str(list_path), stage4_tok, mel_fn=None, mode="llm",
                             llm_cfg=cfg.llm, shuffle_size=64, sort_size=32)
         batch = next(iter(it))
         assert "ids" in batch and batch["ids"].ndim == 2
@@ -209,11 +255,14 @@ def bench_data_prep(rng) -> None:
     total, s0, s12, s3, s4, bs = best
     ups = n_utts / total
     log(
-        f"data prep stages 0-4: {n_utts} utts ({dur_s:.0f}s each) in {total:.2f}s -> "
-        f"{ups:.0f} utt/s/chip (stage0 {s0:.2f} extract1+2 {s12:.2f} "
-        f"parquet {s3:.2f} train-ready {s4:.2f}, llm batch bs={bs})"
+        f"data prep stages 0-4: {n_utts} utts (mixed {dur_cycle[0]}-{dur_cycle[-1]}s, "
+        f"{total_audio_s / n_utts:.1f}s mean, {len(mp3_utts)} mp3, {tok_name}) in {total:.2f}s -> "
+        f"{ups:.0f} utt/s/chip = {total_audio_s / total:.0f} s-audio/s (stage0 {s0:.2f} "
+        f"extract1+2 {s12:.2f} parquet {s3:.2f} train-ready {s4:.2f}, llm batch bs={bs})"
     )
-    emit("data_prep_stages0_4_utt_per_s_per_chip", round(ups, 1), "utt/s", round(ups / 62.5, 3))
+    emit("data_prep_stages0_4_utt_per_s_per_chip", round(ups, 1), "utt/s", round(ups / 62.5, 3),
+         mean_utt_s=round(total_audio_s / n_utts, 1), audio_s_per_s=round(total_audio_s / total, 0),
+         tokenizer=tok_name, n_mp3=len(mp3_utts))
     shutil.rmtree(root, ignore_errors=True)
 
 
@@ -339,6 +388,60 @@ def bench_train(rng) -> None:
     _free(fstate, fbatch)
     del fstate, fparams
 
+    # hifigan GAN alternating disc/gen step at full size (train/gan.py; the
+    # reference's stage-5 GAN loop, cosyvoice/utils/executor.py:88-144).
+    # Batch = 16 x 52-frame crops (the recipe's truncate_length 24960
+    # samples ~= 1.04 s at hop 480).
+    try:
+        import optax
+
+        from fangyan_tts_tpu.models.discriminators import MultipleDiscriminator
+        from fangyan_tts_tpu.models.hift import CausalHiFT
+        from fangyan_tts_tpu.train.gan import init_gan_state, make_hifigan_steps
+
+        hift = CausalHiFT(cfg.hift)
+        disc = MultipleDiscriminator()
+        gb, gl = 16, 52
+        gbatch = {
+            "speech": jnp.asarray(rng.standard_normal((gb, gl * 480)).astype(np.float32) * 0.1),
+            "speech_feat": jnp.asarray(rng.standard_normal((gb, gl, 80)).astype(np.float32) * 0.3),
+            "pitch_feat": jnp.asarray(np.abs(rng.standard_normal((gb, gl)).astype(np.float32)) * 100),
+        }
+        gen_params = fast_init(hift, 2, gbatch["speech_feat"])
+        disc_params = fast_init(disc, 3, gbatch["speech"][:1], gbatch["speech"][:1])
+        gen_tx, disc_tx = optax.adam(2e-4), optax.adam(2e-4)
+        gstate = init_gan_state(gen_params, disc_params, gen_tx, disc_tx)
+        gen_step, disc_step = make_hifigan_steps(hift, disc, gen_tx, disc_tx)
+        t0 = time.time()
+        gstate, dm = disc_step(gstate, gbatch)
+        np.asarray(dm["loss"])
+        gstate, gm = gen_step(gstate, gbatch)
+        np.asarray(gm["loss"])
+        gan_compile_s = time.time() - t0
+        disc_ms = gen_ms = 1e9
+        for _ in range(3):  # alternating pairs, best-of (executor.py order)
+            t0 = time.time()
+            gstate, dm = disc_step(gstate, gbatch)
+            np.asarray(dm["loss"])
+            disc_ms = min(disc_ms, (time.time() - t0) * 1e3)
+            t0 = time.time()
+            gstate, gm = gen_step(gstate, gbatch)
+            np.asarray(gm["loss"])
+            gen_ms = min(gen_ms, (time.time() - t0) * 1e3)
+        assert np.isfinite(float(np.asarray(gm["loss"])))
+        gan_ms = disc_ms + gen_ms
+        crops_s = gb / (gan_ms / 1e3)
+        log(f"hifigan GAN step (full-size gen+MPD/MRD disc, bs{gb}x{gl * 480} samples): "
+            f"{gan_ms:.0f} ms/pair (disc {disc_ms:.0f} + gen {gen_ms:.0f}) -> "
+            f"{crops_s:.0f} crops/s/chip (compile {gan_compile_s:.1f}s)")
+        emit("hifigan_gan_step_ms", round(gan_ms, 1), "ms", 1.0,
+             disc_ms=round(disc_ms, 1), gen_ms=round(gen_ms, 1),
+             crops_per_s=round(crops_s, 1), batch=f"{gb}x{gl * 480}")
+        _free(gstate, gbatch)
+        del gstate, gen_params, disc_params
+    except Exception as e:  # noqa: BLE001
+        log(f"gan step bench skipped: {e!r}")
+
     emit("llm_train_tokens_per_s_per_chip", round(tok_s, 0), "tok/s",
          round(mfu / 0.30, 3), step_ms=round(step_ms, 1), mfu=round(mfu, 3),
          flow_step_ms=round(flow_step_ms, 1))
@@ -383,19 +486,31 @@ def bench_solo_streaming(tts, rng) -> None:
     emb = rng.standard_normal(192).astype(np.float32)
 
     def run_once():
+        tts.stream_stats = {}  # per-hop budget: decode-wait/t2w/fetch/finalize
         t0 = time.time()
         n = 0
         for ch in tts.tts(text=text, flow_embedding=emb, stream=True,
                           min_token_text_ratio=20.0, max_token_text_ratio=20.0):
             n += len(ch["tts_speech"])
-        return time.time() - t0, n / tts.cfg.sample_rate
+        st, tts.stream_stats = tts.stream_stats, None
+        return time.time() - t0, n / tts.cfg.sample_rate, st
 
     run_once()  # warm the 320-token streaming ladder
-    wall, audio = min(run_once() for _ in range(3))
+    wall, audio, st = min((run_once() for _ in range(3)), key=lambda r: r[0])
     rtf = wall / audio
+    # budget extras from the SAME run as the reported wall: where each hop
+    # spends its time (driver-vs-local gap attribution, mean/max per stage)
+    budget = {}
+    for k in ("decode_wait_ms", "t2w_dispatch_ms", "fetch_ms", "finalize_ms"):
+        v = st.get(k, [])
+        if v:
+            budget[k.replace("_ms", "_mean_ms")] = round(float(np.mean(v)), 2)
+            budget[k.replace("_ms", "_max_ms")] = round(float(np.max(v)), 2)
+    n_hops = len(st.get("t2w_dispatch_ms", []))
     log(f"solo streaming e2e: {wall:.2f}s wall for {audio:.1f}s audio -> RTF {rtf:.4f} "
-        f"(reference c=1 0.1237)")
-    emit("streaming_solo_rtf", round(rtf, 4), "rtf", round(0.1237 / rtf, 3))
+        f"(reference c=1 0.1237; {n_hops} hops, budget {budget})")
+    emit("streaming_solo_rtf", round(rtf, 4), "rtf", round(0.1237 / rtf, 3),
+         n_hops=n_hops, **budget)
 
 
 def bench_async_streaming(tts, rng, n_clients: int = 4) -> None:
@@ -470,7 +585,7 @@ def bench_async_streaming(tts, rng, n_clients: int = 4) -> None:
         time.sleep(2.0)
     if errs:
         log(f"async c{n_clients} skipped: {errs[0]!r}")
-        return
+        return None
     # best-of-2 on wall (thread-scheduling noise); gaps come from the SAME
     # run that produced the reported wall time
     wall, best_arr = None, None
@@ -478,7 +593,7 @@ def bench_async_streaming(tts, rng, n_clients: int = 4) -> None:
         w = run_once()
         if errs:
             log(f"async c{n_clients} skipped: {errs[0]!r}")
-            return
+            return None
         if wall is None or w < wall:
             wall, best_arr = w, [list(a) for a in arrivals]
     # playback UX: inter-chunk arrival gaps; a gap longer than one hop of
@@ -502,9 +617,11 @@ def bench_async_streaming(tts, rng, n_clients: int = 4) -> None:
         f"underruns(>{hop_s:.1f}s) {underruns})"
     )
     # reference anchor is its c=4 streaming table (0.0733); it publishes no
-    # c=8 row — the c8 line reuses the c=4 anchor for scale
+    # c>4 rows — higher-c lines reuse the c=4 anchor for scale
     emit(f"streaming_async_c{n_clients}_rtf", round(rtf, 4), "rtf", round(0.0733 / rtf, 3),
          p99_gap_ms=round(p99_ms, 1), max_gap_ms=round(max_ms, 1), underruns=underruns)
+    return {"c": n_clients, "rtf": round(rtf, 4), "p99_gap_ms": round(p99_ms, 1),
+            "max_gap_ms": round(max_ms, 1), "underruns": underruns}
 
 
 def main() -> None:
@@ -659,17 +776,30 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         log(f"solo streaming bench skipped: {e!r}")
 
-    # ---- async concurrent streaming (reference Triton c=4: RTF 0.0733)
-    try:
-        bench_async_streaming(tts, rng, n_clients=4)
-    except Exception as e:  # noqa: BLE001
-        log(f"async c4 bench skipped: {e!r}")
-
-    # ---- c=8 load point (no reference row; documents headroom + UX)
-    try:
-        bench_async_streaming(tts, rng, n_clients=8)
-    except Exception as e:  # noqa: BLE001
-        log(f"async c8 bench skipped: {e!r}")
+    # ---- async concurrent streaming curve: c=4 (reference Triton row RTF
+    # 0.0733), then c=8/12/16 load points — the serving-capacity ceiling a
+    # deployment needs (max underrun-free concurrency per chip; the
+    # reference's concurrency tables stop at c=4,
+    # runtime/triton_trtllm/README.md:95-124)
+    curve = []
+    for c in (4, 8, 12, 16):
+        try:
+            res = bench_async_streaming(tts, rng, n_clients=c)
+        except Exception as e:  # noqa: BLE001
+            log(f"async c{c} bench skipped: {e!r}")
+            res = None
+        if res is None:
+            break  # a failed load point caps the measured ceiling
+        curve.append(res)
+        if res["underruns"] > 0:
+            break  # past the underrun-free ceiling: higher c only burns time
+    if curve:
+        free = [r["c"] for r in curve if r["underruns"] == 0]
+        max_c = max(free) if free else 0
+        log("async concurrency curve: " + "; ".join(
+            f"c={r['c']} rtf={r['rtf']} p99={r['p99_gap_ms']}ms u={r['underruns']}" for r in curve))
+        emit("streaming_max_underrun_free_c", max_c, "clients", round(max_c / 4.0, 2),
+             curve=[[r["c"], r["rtf"], r["p99_gap_ms"], r["underruns"]] for r in curve])
 
     # ---- chained end-to-end: llm -> flow -> hift all device-resident, one
     # final audio fetch (how a serving process runs it; per-stage timings

@@ -766,9 +766,26 @@ class CosyVoice3TTS:
             # only after hop k+1's device work is dispatched, so the fetch
             # roundtrip rides under device compute. The FIRST chunk is
             # fetched immediately (first-chunk latency unchanged).
+            # `self.stream_stats = {}` (opt-in) collects the per-hop budget:
+            # decode-wait (blocked on the LLM prefetcher), t2w dispatch and
+            # D2H fetch ms — the bench emits these so a driver-vs-local RTF
+            # gap is attributable per stage.
+            import time as _time
+
+            stats = getattr(self, "stream_stats", None)
+            _t = _time.perf_counter
             pending = None
             emitted = 0
-            for tok_chunk in token_iter:
+            it = iter(token_iter)
+            while True:
+                t0 = _t()
+                try:
+                    tok_chunk = next(it)
+                except StopIteration:
+                    break
+                if stats is not None:
+                    stats.setdefault("decode_wait_ms", []).append((_t() - t0) * 1e3)
+                t0 = _t()
                 if isinstance(tok_chunk, _SpecFirstChunk):
                     if tok_chunk.spec_audio is not None:
                         # speculation validated: the first hop's audio was
@@ -782,7 +799,10 @@ class CosyVoice3TTS:
                         devs = sess.push_dev(tok_chunk.tokens)
                 else:
                     devs = sess.push_dev(tok_chunk)
+                if stats is not None:
+                    stats.setdefault("t2w_dispatch_ms", []).append((_t() - t0) * 1e3)
                 for dev in devs:
+                    t0 = _t()
                     if emitted == 0:
                         if prefetch is not None:
                             prefetch.release()  # first audio in hand
@@ -791,10 +811,15 @@ class CosyVoice3TTS:
                         if pending is not None:
                             yield {"tts_speech": np.asarray(pending)}
                         pending = dev
+                    if stats is not None:
+                        stats.setdefault("fetch_ms", []).append((_t() - t0) * 1e3)
                     emitted += 1
+            t0 = _t()
             if pending is not None:
                 yield {"tts_speech": np.asarray(pending)}
             yield {"tts_speech": sess.finish()}
+            if stats is not None:
+                stats.setdefault("finalize_ms", []).append((_t() - t0) * 1e3)
         finally:
             if prefetch is not None:
                 prefetch.close()
