@@ -5,10 +5,22 @@ wetext/ttsfrd fallback chain in cli/frontend.py:56-75. This build ships a
 self-contained normalizer replacing the reference's external ttsfrd binary /
 wetext WFSTs with rule chains covering the wetext tagger categories: dates,
 times, percentages, fractions, currency, measure units, phone numbers,
-ranges, negative numbers, and plain integer/decimal readings — for zh and
-the en equivalents (percent/currency/time/fraction). `<|...|>` markup always
-bypasses normalization, matching frontend.py:131-134. Category vectors:
+ranges, negative numbers, leading-zero codes, dial-context hotlines, and
+plain integer/decimal readings — for zh and the en equivalents
+(percent/currency/time/fraction). `<|...|>` markup always bypasses
+normalization, matching frontend.py:131-134. Category vectors:
 tests/test_textnorm_categories.py.
+
+Deliberate pass-throughs (shapes the rule chain does NOT tag; they fall to
+the generic cardinal/digit reading, same as wetext's untagged fallback):
+- 1-3 digit years without a full date (202年 reads 二百零二年 — genuinely
+  ambiguous with durations: 住了202年);
+- hotlines WITHOUT a dial context (110 alone reads 一百一十 — only
+  拨打110/热线12345 style contexts disambiguate);
+- roman numerals, fraction slashes in zh running text (wetext leaves both
+  to the upstream tagger too);
+- erhua 儿 stays lexical (no 儿-insertion/deletion — the reference's
+  ttsfrd binary did dialect-aware erhua, wetext does not).
 """
 
 from __future__ import annotations
@@ -187,6 +199,11 @@ def normalize_categories_zh(text: str) -> str:
     # not mobile numbers read digit-by-digit — reading an 18-digit ID as a
     # quintillion-scale numeral is the classic WFST-less failure mode
     text = re.sub(r"(?<!\d)(\d{10,})(?!\d)", lambda m: _digits_zh(m.group(1)), text)
+    # hotlines / short service numbers right after a dial context (拨打110,
+    # 客服热线12345): digit-by-digit with 幺 — as cardinals they'd read
+    # 一百一十 (wetext's phone tagger covers these via context)
+    text = re.sub(r"(?<=[打线])(1\d{2,4})(?!\d)",
+                  lambda m: _digits_zh(m.group(1), phone=True), text)
     # year ranges BEFORE single dates: 2008-2012年 -> both years digit-wise
     # + 到 (the date rule would otherwise eat the right-hand year first)
     text = re.sub(
@@ -233,6 +250,10 @@ def normalize_categories_zh(text: str) -> str:
         lambda m: number_to_words_zh(m.group(1)) + "比" + number_to_words_zh(m.group(2)),
         text,
     )
+    # leading-zero codes (007, 0086): a zero-led digit run is never a
+    # cardinal — read digit-by-digit. Runs AFTER dates/times so 2023-08-20's
+    # 08 is already consumed by the date rule.
+    text = re.sub(r"(?<![\d.])(0\d+)(?![\d.])", lambda m: _digits_zh(m.group(1)), text)
     # percent ranges BEFORE single percents: 10%-20% -> 百分之十到百分之二十
     # (wetext reads both ends as percents; a bare hyphen between two
     # normalized percents would otherwise survive as punctuation)

@@ -101,6 +101,18 @@ ZH_CASES = [
     ("大约2千人。", "大约两千人。"),
     ("捐了2百元。", "捐了两百元。"),
     ("共12千克。", "共十二千克。"),
+    # long tail: hotlines after a dial context read 幺-style digit-by-digit
+    ("请拨打110。", "请拨打幺幺零。"),
+    ("客服热线12345。", "客服热线幺二三四五。"),
+    # leading-zero codes are never cardinals
+    ("编号007。", "编号零零七。"),
+    ("区号0086。", "区号零零八六。"),
+    # mixed formats around them stay correct
+    ("我住在中山路72号。", "我住在中山路七十二号。"),
+    ("成绩是4比0。", "成绩是四比零。"),
+    ("2023-08-20发布。", "二零二三年八月二十日发布。"),
+    ("他住2单元402室。", "他住二单元四百零二室。"),
+    ("版本v2.5上线了。", "版本v二点五上线了。"),
 ]
 
 EN_CASES = [
