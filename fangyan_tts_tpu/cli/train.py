@@ -46,6 +46,9 @@ def main(argv=None) -> None:
     p.add_argument("--warmup_steps", type=int, default=2500)
     p.add_argument("--grad_clip", type=float, default=5.0)
     p.add_argument("--accum_grad", type=int, default=2)
+    p.add_argument("--bf16_moments", action="store_true",
+                   help="store adam's first moment in bf16 (halves mu HBM bytes; "
+                        "the recipe step is adam-sweep-bound, docs/train_perf.md)")
     p.add_argument("--max_frames_in_batch", type=int, default=2000)
     p.add_argument("--log_interval", type=int, default=100)
     p.add_argument("--save_per_step", type=int, default=-1)
@@ -86,6 +89,7 @@ def main(argv=None) -> None:
         optim="adam", lr=args.lr, scheduler=args.scheduler,
         scheduler_conf={"warmup_steps": args.warmup_steps} if args.scheduler == "warmuplr" else None,
         grad_clip=args.grad_clip,
+        moments_dtype="bfloat16" if args.bf16_moments else None,
     )
 
     if args.model == "llm":

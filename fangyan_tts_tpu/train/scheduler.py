@@ -130,6 +130,7 @@ def build_optimizer(
     grad_clip: float = 5.0,
     accum_grad: int = 1,
     weight_decay: float = 0.0,
+    moments_dtype=None,
 ) -> optax.GradientTransformation:
     """Mirror train_utils.init_optimizer_and_scheduler (train_utils.py:111-184):
     adam/adamw × scheduler, global-norm clip, gradient accumulation.
@@ -144,10 +145,16 @@ def build_optimizer(
     the 0.5B recipe batch, since MultiSteps pays the adam sweep and a full
     params/opt-state where-select on every microbatch call."""
     sched = SCHEDULERS[scheduler](lr, **(scheduler_conf or {}))
+    # moments_dtype='bfloat16' halves the HBM bytes of adam's first moment
+    # (optax mu_dtype; nu stays fp32 — bf16's 8-bit mantissa is too coarse
+    # for the variance accumulator). The recipe-batch step is fixed-cost
+    # bound by the full-state adam sweep (docs/train_perf.md roofline), so
+    # this trades a little update precision for step time on small batches.
+    mu_dtype = moments_dtype
     if optim == "adam":
-        core = optax.adam(sched)
+        core = optax.adam(sched, mu_dtype=mu_dtype)
     elif optim == "adamw":
-        core = optax.adamw(sched, weight_decay=weight_decay)
+        core = optax.adamw(sched, weight_decay=weight_decay, mu_dtype=mu_dtype)
     else:
         raise ValueError(f"unknown optimizer {optim}")
     tx = optax.chain(optax.clip_by_global_norm(grad_clip), core)
