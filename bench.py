@@ -90,7 +90,7 @@ def bench_data_prep(rng) -> None:
     import jax
     import jax.numpy as jnp
 
-    from fangyan_tts_tpu.data.extract import extract_all
+    from fangyan_tts_tpu.data.extract import extract_all, prepare_corpus
     from fangyan_tts_tpu.data.parquet import make_parquet_list
     from fangyan_tts_tpu.models.campplus import CAMPPlus
     from fangyan_tts_tpu.models.s3tokenizer import S3TokenizerV3
@@ -100,7 +100,11 @@ def bench_data_prep(rng) -> None:
     # mixed 5-30 s utterances (short-weighted like real speech corpora; mean
     # ~13 s — the old corpus was uniform 5 s, understating per-utt audio)
     dur_cycle = (5, 6, 8, 10, 12, 15, 20, 30)
-    root = tempfile.mkdtemp(prefix="bench_dataprep_")
+    # corpus lives on tmpfs when available: the shared host's buffered disk
+    # writes throttle to ~67 MB/s, which is a host artifact, not pipeline
+    # throughput (real v5e pods stage corpora on local NVMe / ramdisk)
+    root = tempfile.mkdtemp(prefix="bench_dataprep_",
+                            dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     raw = os.path.join(root, "raw")
     os.makedirs(raw)
     # corpus synthesis = the API/TPU generation phase, NOT stages 0-4: write
@@ -170,14 +174,14 @@ def bench_data_prep(rng) -> None:
              open(os.path.join(data_dir, "utt2spk"), "w") as fu, \
              open(os.path.join(data_dir, "instruct"), "w") as fi:
             for u in utts:
-                spk = f"spk{int(u[3:]) % 8}"
+                spk = f"spk{int(u[3:]) // (len(texts) // 8)}"
                 fw.write(f"{u} {wav_paths[u]}\n")
                 ft.write(f"{u} {texts[u]}\n")
                 fu.write(f"{u} {spk}\n")
                 fi.write(f"{u} 请用普通话说。<|endofprompt|>\n")
         spk2utt = {}
         for u in utts:
-            spk2utt.setdefault(f"spk{int(u[3:]) % 8}", []).append(u)
+            spk2utt.setdefault(f"spk{int(u[3:]) // (len(texts) // 8)}", []).append(u)
         with open(os.path.join(data_dir, "spk2utt"), "w") as f:
             for s, us in sorted(spk2utt.items()):
                 f.write(f"{s} {' '.join(us)}\n")
@@ -226,10 +230,12 @@ def bench_data_prep(rng) -> None:
     # describes.
     wdir = os.path.join(root, "warm")
     kaldi_prep(wdir)
-    warm(wdir)
     wpq = os.path.join(root, "warm_parquet")
-    make_parquet_list(wdir, wpq, num_utts_per_parquet=64, instruct=True)
+    prepare_corpus(wdir, wpq, lambda f, fl: emb_fn(cp, f),
+                   lambda m, ml: tok_fn(sp, m, ml), batch_size=64,
+                   num_utts_per_parquet=64, instruct=True)
     train_ready_check(os.path.join(wpq, "data.list"))
+    assert warm and extract_all and make_parquet_list  # per-stage CLIs' fns stay importable
 
     # best-of-2 full passes (fresh dirs each): the target is steady-state
     # throughput; a one-shot 2.5 s measurement on the shared single-core
@@ -241,24 +247,25 @@ def bench_data_prep(rng) -> None:
         t0 = time.time()
         kaldi_prep(data_dir)                                               # stage 0
         t1 = time.time()
-        # stages 1+2 fused: one corpus pass / one upload feeds both programs
-        # (extract.extract_all; the per-stage CLIs remain for run.sh parity)
-        extract_all(data_dir, lambda f, fl: emb_fn(cp, f),
-                    lambda m, ml: tok_fn(sp, m, ml), batch_size=64)
-        t2 = t3 = time.time()
-        make_parquet_list(data_dir, pq_dir, num_utts_per_parquet=64, instruct=True)  # stage 3
+        # stages 1+2+3 pipelined: ONE corpus pass; extraction feeds both
+        # device programs while completed shards pack on a host IO thread
+        # (extract.prepare_corpus; the per-stage CLIs remain for run.sh
+        # parity). The tunnel upload is the binding resource.
+        prepare_corpus(data_dir, pq_dir, lambda f, fl: emb_fn(cp, f),
+                       lambda m, ml: tok_fn(sp, m, ml), batch_size=64,
+                       num_utts_per_parquet=64, instruct=True)
         t4 = time.time()
         bs = train_ready_check(os.path.join(pq_dir, "data.list"))          # stage 4
         t5 = time.time()
         if best is None or t5 - t0 < best[0]:
-            best = (t5 - t0, t1 - t0, t2 - t1, t4 - t3, t5 - t4, bs)
-    total, s0, s12, s3, s4, bs = best
+            best = (t5 - t0, t1 - t0, t4 - t1, t5 - t4, bs)
+    total, s0, s123, s4, bs = best
     ups = n_utts / total
     log(
         f"data prep stages 0-4: {n_utts} utts (mixed {dur_cycle[0]}-{dur_cycle[-1]}s, "
         f"{total_audio_s / n_utts:.1f}s mean, {len(mp3_utts)} mp3, {tok_name}) in {total:.2f}s -> "
         f"{ups:.0f} utt/s/chip = {total_audio_s / total:.0f} s-audio/s (stage0 {s0:.2f} "
-        f"extract1+2 {s12:.2f} parquet {s3:.2f} train-ready {s4:.2f}, llm batch bs={bs})"
+        f"extract+pack(1-3 pipelined) {s123:.2f} train-ready {s4:.2f}, llm batch bs={bs})"
     )
     emit("data_prep_stages0_4_utt_per_s_per_chip", round(ups, 1), "utt/s", round(ups / 62.5, 3),
          mean_utt_s=round(total_audio_s / n_utts, 1), audio_s_per_s=round(total_audio_s / total, 0),

@@ -43,12 +43,22 @@ def shard_list(items: list, host_id: int, num_hosts: int, epoch: int, shuffle: b
     return items[host_id:n_even:num_hosts]
 
 
-def parquet_opener(shards: Iterable[str]) -> Iterator[dict]:
+def parquet_opener(shards: Iterable[str], drop_audio: bool = False) -> Iterator[dict]:
+    """drop_audio=True skips the audio_data column WHEN the shard carries
+    the sample_rate/num_samples metadata columns (shards packed by this
+    framework do; reference-made shards don't and are read in full). The
+    LLM pipeline never touches samples — audio bytes dominate shard size
+    (PCM), so pruning turns its shard reads from O(audio) into O(tokens)."""
     import pyarrow.parquet as pq
 
     for src in shards:
         try:
-            for batch in pq.ParquetFile(src).iter_batches(batch_size=64):
+            pf = pq.ParquetFile(src)
+            columns = None
+            names = pf.schema_arrow.names
+            if drop_audio and "sample_rate" in names and "num_samples" in names:
+                columns = [n for n in names if n != "audio_data"]
+            for batch in pf.iter_batches(batch_size=64, columns=columns):
                 # column-wise .values then per-row dicts: pandas .loc row
                 # indexing measured ~6x slower for PCM-bearing rows
                 df = batch.to_pandas()
@@ -82,12 +92,15 @@ def decode_filter(
                 speech, sr = read_wav(BytesIO(s["audio_data"]))
                 n = len(speech)
                 s["speech"] = speech
+            elif int(s.get("sample_rate") or 0) > 0:
+                # shard metadata columns (pack_shard): no byte touch at all
+                sr, n = int(s["sample_rate"]), int(s["num_samples"])
             else:
                 with wave.open(BytesIO(s["audio_data"]), "rb") as w:
                     sr, n = w.getframerate(), w.getnframes()
         except Exception:  # noqa: BLE001 - non-wav container: skip (prep converts to wav)
             continue
-        del s["audio_data"]
+        s.pop("audio_data", None)
         s["sample_rate"] = sr
         num_frames = n / sr * 100
         if not (min_length <= num_frames <= max_length):
@@ -314,7 +327,7 @@ def build_pipeline(
         shards = [line.strip() for line in f if line.strip()]
     shards = shard_list(shards, host_id, num_hosts, epoch) or shards[host_id::num_hosts]
 
-    it: Any = parquet_opener(shards)
+    it: Any = parquet_opener(shards, drop_audio=(mode == "llm"))
     it = tokenize(it, tokenizer)
     # llm collate never reads samples: header-only duration gating skips
     # the decode + scipy resample that dominate the llm pipeline's host time

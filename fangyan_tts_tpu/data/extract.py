@@ -273,3 +273,128 @@ def _torch_save(obj, path) -> None:
         torch.save(obj, str(path))
     except ImportError:
         np.save(str(path) + ".npy", obj, allow_pickle=True)
+
+
+def prepare_corpus(
+    data_dir: str | Path,
+    des_dir: str | Path,
+    emb_apply: Callable,
+    tok_apply: Callable,
+    batch_size: int = 64,
+    num_utts_per_parquet: int = 1000,
+    instruct: bool = False,
+) -> list[str]:
+    """Stages 1+2+3 as ONE pipelined pass.
+
+    On the tunneled single-chip setup the corpus upload (~37 MB/s H2D) is
+    the binding resource of data prep; everything else must ride under it.
+    This fuses extract_all's pipelined device loop with stage-3 shard
+    packing on a host IO thread: a parquet shard is packed as soon as every
+    utterance it contains is extracted AND every speaker appearing in it
+    has its mean embedding complete (kaldi convention orders utterances
+    speaker-major, so early shards complete while later buckets are still
+    uploading). Artifacts are byte-compatible with running extract_all then
+    parquet.make_parquet_list sequentially: the same .pt maps, shards,
+    json sidecars and data.list files (reference pipeline:
+    examples/dialect/cosyvoice3/run.sh:23-88).
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .parquet import make_lists, pack_shard
+
+    data_dir, des = Path(data_dir), Path(des_dir)
+    des.mkdir(parents=True, exist_ok=True)
+    wav_scp = read_scp(data_dir / "wav.scp")
+    utt2spk = read_scp(data_dir / "utt2spk")
+    maps: dict = {
+        "utt2wav": dict(wav_scp),
+        "utt2text": read_scp(data_dir / "text"),
+        "utt2spk": dict(utt2spk),
+        "utt2embedding": {},
+        "spk2embedding": {},
+        "utt2speech_token": {},
+    }
+    if instruct:
+        maps["utt2instruct"] = read_scp(data_dir / "instruct")
+
+    utt_order = list(wav_scp.keys())
+    shards = [utt_order[j : j + num_utts_per_parquet]
+              for j in range(0, len(utt_order), num_utts_per_parquet)]
+    spk_pending: dict[str, int] = defaultdict(int)
+    spk_sum: dict[str, np.ndarray] = {}
+    spk_n: dict[str, int] = defaultdict(int)
+    for u in utt_order:
+        spk_pending[utt2spk.get(u, "unk")] += 1
+    shard_utts_left = [set(s) for s in shards]
+    shard_spks_left = [{utt2spk.get(u, "unk") for u in s} for s in shards]
+    next_shard = 0
+    futures = []
+    files: list[tuple[str, str, str]] = []
+    packer = ThreadPoolExecutor(max_workers=1)
+
+    def _submit_ready() -> None:
+        nonlocal next_shard
+        while (next_shard < len(shards)
+               and not shard_utts_left[next_shard]
+               and not shard_spks_left[next_shard]):
+            i = next_shard
+            pf = os.path.join(des, f"parquet_{i:09d}.tar")
+            uf = os.path.join(des, f"utt2parquet_{i:09d}.json")
+            sf = os.path.join(des, f"spk2parquet_{i:09d}.json")
+            files.append((pf, uf, sf))
+            futures.append(packer.submit(
+                pack_shard, shards[i], maps, pf, uf, sf, instruct=instruct))
+            next_shard += 1
+
+    def _utt_done(utt: str, emb: np.ndarray, toks: np.ndarray) -> None:
+        maps["utt2embedding"][utt] = emb
+        maps["utt2speech_token"][utt] = toks
+        spk = utt2spk.get(utt, "unk")
+        spk_sum[spk] = emb + spk_sum.get(spk, 0.0)
+        spk_n[spk] += 1
+        spk_pending[spk] -= 1
+        if spk_pending[spk] == 0:
+            maps["spk2embedding"][spk] = (spk_sum[spk] / spk_n[spk]).astype(np.float32)
+            for left in shard_spks_left:
+                left.discard(spk)
+        for left in shard_utts_left:
+            if utt in left:
+                left.discard(utt)
+                break
+        _submit_ready()
+
+    utts = load_utts(wav_scp)
+    MAX_INFLIGHT = 4
+    inflight: list[tuple[list[str], object, object, object]] = []
+
+    def _drain_one() -> None:
+        names, embs_d, codes_d, clen_d = inflight.pop(0)
+        embs = np.asarray(embs_d)
+        codes, code_len = np.asarray(codes_d), np.asarray(clen_d)
+        for i, utt in enumerate(names):
+            _utt_done(utt, embs[i].astype(np.float32), codes[i, : code_len[i]].astype(np.int32))
+
+    for names, pad, lens in _batched_buckets(utts, 16000, batch_size):
+        pad_d, lens_d = jax.device_put(pad), jax.device_put(lens)
+        feats, frame_len = _embed_features(pad_d, lens_d)
+        mel, mel_len = _token_features(pad_d, lens_d)
+        embs_d = emb_apply(feats, frame_len)
+        codes_d, clen_d = tok_apply(mel, mel_len)
+        inflight.append((names, embs_d, codes_d, clen_d))
+        if len(inflight) >= MAX_INFLIGHT:
+            _drain_one()
+    while inflight:
+        _drain_one()
+    _submit_ready()
+    for f in futures:
+        f.result()  # surface packer exceptions
+    packer.shutdown()
+
+    _torch_save({k: _to_torch(v) for k, v in maps["utt2embedding"].items()},
+                data_dir / "utt2embedding.pt")
+    _torch_save({k: _to_torch(v) for k, v in maps["spk2embedding"].items()},
+                data_dir / "spk2embedding.pt")
+    _torch_save({k: _to_torch(v) for k, v in maps["utt2speech_token"].items()},
+                data_dir / "utt2speech_token.pt")
+    return make_lists(des, files)

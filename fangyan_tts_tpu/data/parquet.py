@@ -53,10 +53,27 @@ def pack_shard(
     with ThreadPoolExecutor(max_workers=8) as ex:
         data_list = list(ex.map(lambda u: open(maps["utt2wav"][u], "rb").read(), utt_list))
     spks = [maps["utt2spk"][u] for u in utt_list]
+    # duration metadata columns (EXTRA vs the reference schema — its readers
+    # ignore unknown columns): lets the LLM training pipeline skip reading
+    # audio_data entirely (dataset.parquet_opener column pruning; the filter
+    # gate needs only sr/num_samples). 0/0 marks a non-wav container whose
+    # duration must come from decoding.
+    import wave
+    from io import BytesIO
+
+    meta = []
+    for b in data_list:
+        try:
+            with wave.open(BytesIO(b), "rb") as w:
+                meta.append((w.getframerate(), w.getnframes()))
+        except Exception:  # noqa: BLE001 — non-wav container
+            meta.append((0, 0))
     cols = {
         "utt": utt_list,
         "wav": [maps["utt2wav"][u] for u in utt_list],
         "audio_data": pa.array(data_list, type=pa.binary()),
+        "sample_rate": np.asarray([m[0] for m in meta], np.int32),
+        "num_samples": np.asarray([m[1] for m in meta], np.int32),
         "text": [maps["utt2text"][u] for u in utt_list],
         "spk": spks,
         "utt_embedding": [_as_np(maps["utt2embedding"][u]).astype(np.float32) for u in utt_list],
@@ -114,20 +131,24 @@ def make_parquet_list(
         maps["utt2reject_speech_token"] = _load_pt(str(src) + "_reject/utt2speech_token.pt")
 
     utts = list(maps["utt2wav"].keys())
-    parquet_list, utt2parquet_list, spk2parquet_list = [], [], []
+    files = []
     for i, j in enumerate(range(0, len(utts), num_utts_per_parquet)):
         pf = os.path.join(des, f"parquet_{i:09d}.tar")
         uf = os.path.join(des, f"utt2parquet_{i:09d}.json")
         sf = os.path.join(des, f"spk2parquet_{i:09d}.json")
         pack_shard(utts[j : j + num_utts_per_parquet], maps, pf, uf, sf, instruct=instruct, dpo=dpo)
-        parquet_list.append(pf)
-        utt2parquet_list.append(uf)
-        spk2parquet_list.append(sf)
+        files.append((pf, uf, sf))
+    return make_lists(des, files)
 
+
+def make_lists(des: str | Path, files: list[tuple[str, str, str]]) -> list[str]:
+    """Write data.list / utt2data.list / spk2data.list index files."""
+    des = Path(des)
+    parquet_list = [pf for pf, _, _ in files]
     for name, entries in (
         ("data.list", parquet_list),
-        ("utt2data.list", utt2parquet_list),
-        ("spk2data.list", spk2parquet_list),
+        ("utt2data.list", [uf for _, uf, _ in files]),
+        ("spk2data.list", [sf for _, _, sf in files]),
     ):
         with open(des / name, "w", encoding="utf8") as f:
             f.write("".join(e + "\n" for e in entries))
