@@ -576,7 +576,6 @@ class StreamScheduler:
         g._collecting = False  # a leader is inside its arrival window
         g._close_pending = {}  # slot -> True: drained, awaiting batched finalize
         g._close_results = {}  # slot -> tail audio (set by a finalize leader)
-        g._finalizing = False  # a leader is running finish_many()
 
     def open(self, prompt_token, prompt_feat, embedding) -> int:
         with self._lock:
@@ -737,18 +736,22 @@ class StreamScheduler:
             g._cond.notify_all()
             deadline = self._monotonic() + self.window_s
             while slot not in g._close_results:
-                if g._finalizing:
-                    g._cond.wait(0.05)  # a leader is on-device; our result lands next
+                if slot not in g._close_pending:
+                    # another leader swept us into its cohort; result incoming
+                    g._cond.wait(0.05)
                     continue
                 open_others = len(g._owners) - len(g._close_pending)
                 remaining = deadline - self._monotonic()
                 if open_others > 0 and remaining > 0:
                     g._cond.wait(remaining)  # more closers may arrive
                     continue
-                # become the finalize leader for the current cohort
+                # lead the CURRENT cohort (everything registered so far).
+                # Leaders of successive cohorts run concurrently on disjoint
+                # slot sets — gating them on each other would re-serialize
+                # staggered closes (the r03 tail this path exists to kill);
+                # finish_many only reads its own slots' rows.
                 cohort = list(g._close_pending)
                 g._close_pending.clear()
-                g._finalizing = True
                 g._cond.release()
                 try:
                     res = g.finish_many(cohort)
@@ -757,7 +760,6 @@ class StreamScheduler:
                 finally:
                     g._cond.acquire()
                     g._close_results.update(res)
-                    g._finalizing = False
                     g._cond.notify_all()
             tail = g._close_results.pop(slot)
             del g._owners[slot]
