@@ -289,17 +289,20 @@ def prepare_corpus(
     On the tunneled single-chip setup the corpus upload (~37 MB/s H2D) is
     the binding resource of data prep; everything else must ride under it.
     This fuses extract_all's pipelined device loop with stage-3 shard
-    packing on a host IO thread: a parquet shard is packed as soon as every
-    utterance it contains is extracted AND every speaker appearing in it
-    has its mean embedding complete (kaldi convention orders utterances
-    speaker-major, so early shards complete while later buckets are still
-    uploading). Artifacts are byte-compatible with running extract_all then
-    parquet.make_parquet_list sequentially: the same .pt maps, shards,
+    packing: a parquet shard is packed as soon as every utterance it
+    contains is extracted AND every speaker appearing in it has its mean
+    embedding complete (kaldi convention orders utterances speaker-major,
+    so early shards complete while later buckets are still uploading).
+    Packing runs COOPERATIVELY on the main thread between batch drains —
+    device dispatch is asynchronous, so up to MAX_INFLIGHT uploaded batches
+    keep the chip busy while pyarrow writes (pyarrow from a side thread
+    inside a jax process segfaulted in libarrow — measured, not
+    hypothetical). Artifacts are byte-compatible with running extract_all
+    then parquet.make_parquet_list sequentially: the same .pt maps, shards,
     json sidecars and data.list files (reference pipeline:
     examples/dialect/cosyvoice3/run.sh:23-88).
     """
     import os
-    from concurrent.futures import ThreadPoolExecutor
 
     from .parquet import make_lists, pack_shard
 
@@ -329,11 +332,9 @@ def prepare_corpus(
     shard_utts_left = [set(s) for s in shards]
     shard_spks_left = [{utt2spk.get(u, "unk") for u in s} for s in shards]
     next_shard = 0
-    futures = []
     files: list[tuple[str, str, str]] = []
-    packer = ThreadPoolExecutor(max_workers=1)
 
-    def _submit_ready() -> None:
+    def _pack_ready() -> None:
         nonlocal next_shard
         while (next_shard < len(shards)
                and not shard_utts_left[next_shard]
@@ -343,8 +344,7 @@ def prepare_corpus(
             uf = os.path.join(des, f"utt2parquet_{i:09d}.json")
             sf = os.path.join(des, f"spk2parquet_{i:09d}.json")
             files.append((pf, uf, sf))
-            futures.append(packer.submit(
-                pack_shard, shards[i], maps, pf, uf, sf, instruct=instruct))
+            pack_shard(shards[i], maps, pf, uf, sf, instruct=instruct)
             next_shard += 1
 
     def _utt_done(utt: str, emb: np.ndarray, toks: np.ndarray) -> None:
@@ -362,7 +362,6 @@ def prepare_corpus(
             if utt in left:
                 left.discard(utt)
                 break
-        _submit_ready()
 
     utts = load_utts(wav_scp)
     MAX_INFLIGHT = 4
@@ -384,12 +383,10 @@ def prepare_corpus(
         inflight.append((names, embs_d, codes_d, clen_d))
         if len(inflight) >= MAX_INFLIGHT:
             _drain_one()
+            _pack_ready()  # shard IO rides between drains, device stays fed
     while inflight:
         _drain_one()
-    _submit_ready()
-    for f in futures:
-        f.result()  # surface packer exceptions
-    packer.shutdown()
+    _pack_ready()
 
     _torch_save({k: _to_torch(v) for k, v in maps["utt2embedding"].items()},
                 data_dir / "utt2embedding.pt")

@@ -54,7 +54,20 @@ def text_tokens(text: str) -> list[int]:
 
 
 def make_sentences(rng: np.random.Generator, n: int) -> list[str]:
-    return ["".join(rng.choice(list(ALPHABET), size=rng.integers(4, 9))) for _ in range(n)]
+    """Random sentences without ADJACENT duplicate chars: a repeated char
+    makes the greedy continuation genuinely ambiguous for a tiny 2-layer
+    model (it must count repetitions positionally), which is not what this
+    harness exercises."""
+    out = []
+    for _ in range(n):
+        ln = int(rng.integers(4, 9))
+        s: list[str] = []
+        while len(s) < ln:
+            c = str(rng.choice(list(ALPHABET)))
+            if not s or s[-1] != c:
+                s.append(c)
+        out.append("".join(s))
+    return out
 
 
 def tiny_config():
@@ -133,8 +146,15 @@ def prompt_prefix_tokens(d: Path, s3_fn) -> list[int]:
     return [int(t) for t in fe.extract_speech_token(wav)]
 
 
+MAX_STEPS = 1200
+TARGET_ACC = 0.999  # free-running decode compounds teacher-forced errors:
+# at acc ~0.98 a couple of wrong argmaxes per sentence derail the rest of
+# the greedy rollout (measured token CER 0.54); memorization-grade accuracy
+# is required for the decode to reproduce the mapping
+
+
 def train_llm(cfg, sentences: list[str], prefix: list[int],
-              max_steps: int = 1200, target_acc: float = 0.985):
+              max_steps: int | None = None, target_acc: float | None = None):
     """Real train step (pjit, mesh dp=1) over right-padded zero-shot plans."""
     import jax
     import jax.numpy as jnp
@@ -147,6 +167,8 @@ def train_llm(cfg, sentences: list[str], prefix: list[int],
     from fangyan_tts_tpu.train.scheduler import build_optimizer
     from fangyan_tts_tpu.utils.init import fast_init
 
+    max_steps = MAX_STEPS if max_steps is None else max_steps
+    target_acc = TARGET_ACC if target_acc is None else target_acc
     tok = ByteFallbackTokenizer()
     plans = [build_plan(cfg.llm, tok.encode(s), prefix + text_tokens(s)) for s in sentences]
     batch = {k: jnp.asarray(v) for k, v in pad_plans_right(plans).items()}
