@@ -113,6 +113,30 @@ ZH_CASES = [
     ("2023-08-20发布。", "二零二三年八月二十日发布。"),
     ("他住2单元402室。", "他住二单元四百零二室。"),
     ("版本v2.5上线了。", "版本v二点五上线了。"),
+    # money with 万/亿 scales (the scale rides inside the amount)
+    ("票房￥3.5亿。", "票房三点五亿元。"),
+    ("预算$2万。", "预算两万美元。"),
+    # dotted sequences: versions and IPs
+    ("版本2.5.1发布。", "版本二点五点一发布。"),
+    ("服务器192.168.1.1。", "服务器一百九十二点一六八点一点一。"),
+    # math operators between numbers
+    ("算式1+1=2。", "算式一加一等于二。"),
+    ("因为3×5=15。", "因为三乘五等于十五。"),
+    ("所以10÷2=5。", "所以十除以二等于五。"),
+    ("误差±3℃。", "误差正负三摄氏度。"),
+    # per-mille
+    ("含盐量3‰。", "含盐量千分之三。"),
+    # decades read digit-wise (wetext date.fst decade branch)
+    ("90年代流行歌。", "九零年代流行歌。"),
+    ("他是80后。", "他是八零后。"),
+    ("1990年代的事。", "一九九零年代的事。"),
+    # license plates: digits read 幺-style, letters kept
+    ("车牌京A12345。", "车牌京A幺二三四五。"),
+    ("粤B·987654被拍。", "粤B九八七六五四被拍。"),
+    # time ranges
+    ("营业时间8:30-17:30。", "营业时间八点三十分到十七点三十分。"),
+    # thousands separators
+    ("人口1,234,567。", "人口一百二十三万四千五百六十七。"),
 ]
 
 EN_CASES = [
@@ -130,6 +154,16 @@ EN_CASES = [
     ("Roughly 2/5 left.", "Roughly two over five left."),
     ("He is 42.", "He is forty-two."),
     ("It was 1234.", "It was one thousand two hundred thirty-four."),
+    # ordinal suffixes
+    ("He came 1st.", "He came first."),
+    ("Her 23rd birthday.", "Her twenty-third birthday."),
+    ("The 12th row.", "The twelfth row."),
+    ("The 20th century.", "The twentieth century."),
+    # thousands separators, negatives, ranges, time ranges
+    ("Population 1,234,567.", "Population one million two hundred thirty-four thousand five hundred sixty-seven."),
+    ("It was -5.", "It was minus five."),
+    ("Read pages 3-5.", "Read pages three to five."),
+    ("Open 8:30-17:30.", "Open eight thirty to seventeen thirty."),
 ]
 
 
