@@ -370,6 +370,10 @@ def _v_measure(m, _t):
     return num_zh(num) + reading
 
 
+def _v_range_measure(m, _t):
+    return num_zh(m.group(1)) + "到" + num_zh(m.group(2)) + _UNITS_READ[m.group(3)]
+
+
 def _v_plate(m, _t):
     tail = "".join(digits_zh(c, phone=True) if c.isdigit() else c for c in m.group(3))
     return m.group(1) + m.group(2) + tail
@@ -437,6 +441,10 @@ _ZH_RULES = [
     Rule("money", r"([￥¥$€£])\s*(\d+(?:\.\d+)?)(万亿|万|亿)?", _v_currency, "￥¥$€£"),
     Rule("measure", r"(\d+(?:\.\d+)?)(" + _UNITS_ALT + r")(?![A-Za-z0-9²³])",
          _v_measure, _D),
+    # ranges whose unit rides on the right end: 400-500km -> 四百到五百千米
+    Rule("range_measure",
+         r"(?<!\d)(\d+(?:\.\d+)?)[~～-](\d+(?:\.\d+)?)(" + _UNITS_ALT + r")(?![A-Za-z0-9²³])",
+         _v_range_measure, _D),
     # dotted sequences (versions, IPs) before the generic decimal
     Rule("dotted", r"(?<![\d.])\d+(?:\.\d+){2,}(?![\d.])", _v_dotted, _D),
     # thousands separators before the generic cardinal (a trailing . only

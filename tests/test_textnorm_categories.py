@@ -135,6 +135,9 @@ ZH_CASES = [
     ("粤B·987654被拍。", "粤B九八七六五四被拍。"),
     # time ranges
     ("营业时间8:30-17:30。", "营业时间八点三十分到十七点三十分。"),
+    # ranges with a trailing unit
+    ("续航400-500km。", "续航四百到五百千米。"),
+    ("水温30~40℃合适。", "水温三十到四十摄氏度合适。"),
     # thousands separators
     ("人口1,234,567。", "人口一百二十三万四千五百六十七。"),
 ]
