@@ -60,107 +60,6 @@ def _batched_buckets(utts: list[tuple[str, np.ndarray]], sr: int, batch_size: in
             yield names, pad, lens
 
 
-def _wav_meta(path: str) -> tuple[int, int] | None:
-    """(n_frames, sample_rate) from a RIFF chunk walk — header bytes only,
-    no audio data read. Returns None for anything that isn't plain PCM wav
-    (the caller then falls back to the eager loader)."""
-    try:
-        with open(path, "rb") as f:
-            hdr = f.read(12)
-            if len(hdr) < 12 or hdr[:4] != b"RIFF" or hdr[8:12] != b"WAVE":
-                return None
-            sr = block_align = None
-            while True:
-                ch = f.read(8)
-                if len(ch) < 8:
-                    return None
-                cid, sz = ch[:4], int.from_bytes(ch[4:8], "little")
-                if cid == b"fmt ":
-                    fmt = f.read(sz)
-                    if len(fmt) < 16 or int.from_bytes(fmt[0:2], "little") != 1:
-                        return None  # PCM only
-                    sr = int.from_bytes(fmt[4:8], "little")
-                    block_align = int.from_bytes(fmt[12:14], "little")
-                elif cid == b"data":
-                    if not sr or not block_align:
-                        return None
-                    return sz // block_align, sr
-                else:
-                    f.seek(sz + (sz & 1), 1)
-    except OSError:
-        return None
-
-
-def _plan_stream_batches(wav_scp: dict[str, str], target_sr: int, batch_size: int):
-    """Bucket-plan the corpus from wav HEADERS alone so audio can be decoded
-    lazily per batch (the streaming pipeline in prepare_corpus). Returns
-    [(bucket_len, [(utt, path, sr, n_target)])] in the same bucket-sorted /
-    original order _batched_buckets produces, or None if any file can't
-    stream (non-wav, non-PCM, no native loader) — the caller then uses the
-    eager load-everything path, keeping artifact byte-compatibility."""
-    from . import native
-
-    if not native.available():
-        return None
-    metas = []
-    for utt, path in wav_scp.items():
-        if not path.lower().endswith(".wav"):
-            return None
-        m = _wav_meta(path)
-        if m is None:
-            return None
-        n, sr = m
-        n_t = n if sr == target_sr else int(round(n * target_sr / sr))
-        n_t = min(n_t, _BUCKETS_SEC[-1] * target_sr)
-        metas.append((utt, path, sr, n_t))
-    buckets: dict[int, list] = defaultdict(list)
-    for rec in metas:
-        buckets[_bucket_len(rec[3], target_sr)].append(rec)
-    plans = []
-    for blen, items in sorted(buckets.items()):
-        for i in range(0, len(items), batch_size):
-            plans.append((blen, items[i : i + batch_size]))
-    return plans
-
-
-def _load_planned_batch(blen: int, items: list, target_sr: int):
-    """Decode one planned batch through the native loader (8 C++ threads,
-    GIL released) straight into the padded int16 wire buffer. A row the
-    native parser rejects after all falls back to the python loader; a row
-    that fails entirely gets name None (skipped at drain)."""
-    from . import native
-
-    names: list = []
-    pad = np.zeros((len(items), blen), np.int16)
-    lens = np.zeros((len(items),), np.int32)
-    CHUNK = 32  # bounds the float32 staging buffer
-    row = 0
-    for c0 in range(0, len(items), CHUNK):
-        chunk = items[c0 : c0 + CHUNK]
-        cap = _BUCKETS_SEC[-1] * max(r[2] for r in chunk)
-        audio, lengths, rates = native.load_wav_batch([r[1] for r in chunk], cap)
-        for j, (utt, path, _sr_meta, _n_t) in enumerate(chunk):
-            n, sr = int(lengths[j]), int(rates[j])
-            if n <= 0:
-                try:
-                    a, _ = load_audio(path, target_sr=target_sr)
-                except Exception as e:  # noqa: BLE001
-                    print(f"  ⚠️ failed to load {utt}: {e}")
-                    names.append(None)
-                    row += 1
-                    continue
-            else:
-                a = audio[j, : min(n, _BUCKETS_SEC[-1] * sr)]
-                if sr != target_sr:
-                    a = native.resample_native(np.ascontiguousarray(a), sr, target_sr)
-            a = a[:blen]
-            pad[row, : len(a)] = np.clip(a * 32768.0, -32768, 32767).astype(np.int16)
-            lens[row] = len(a)
-            names.append(utt)
-            row += 1
-    return names, pad, lens
-
-
 def load_utts(wav_scp: dict[str, str], target_sr: int = 16000, progress: bool = True) -> list[tuple[str, np.ndarray]]:
     """Corpus loader. WAV files go through the native multithreaded C++
     loader (csrc/audio_io.cpp, 8 decode threads) in bounded-memory chunks;
@@ -384,6 +283,7 @@ def prepare_corpus(
     batch_size: int = 64,
     num_utts_per_parquet: int = 1000,
     instruct: bool = False,
+    fused_apply: Callable | None = None,
 ) -> list[str]:
     """Stages 1+2+3 as ONE pipelined pass.
 
@@ -464,87 +364,39 @@ def prepare_corpus(
                 left.discard(utt)
                 break
 
-    # Three-way overlap on the single host core + tunnel: the main thread
-    # decodes wav batches (native loader, GIL released) and packs shards
-    # (pyarrow must stay on the main thread); a dedicated uploader thread
-    # owns device_put + program dispatch so the H2D transfer of batch i+1
-    # rides under batch i's decode/pack. Corpus batches are PLANNED from
-    # wav headers so decoding is lazy; if any file can't stream, the whole
-    # corpus takes the eager load_utts path (identical artifacts).
-    import queue
-    import threading
-
+    # NOTE an uploader-thread + header-planned lazy-decode variant was
+    # built and A/B-measured 1.8x SLOWER than this eager inflight loop on
+    # the tunneled backend (33.9 vs 62.4 utt/s, same session): dispatching
+    # jax calls from a secondary thread loses to the async-dispatch overlap
+    # the plain loop already gets. Keep the loop single-threaded.
+    utts = load_utts(wav_scp)
     MAX_INFLIGHT = 4
-    plans = _plan_stream_batches(wav_scp, 16000, batch_size)
+    inflight: list[tuple[list[str], object, object, object]] = []
 
-    def _batches():
-        if plans is None:
-            yield from _batched_buckets(load_utts(wav_scp), 16000, batch_size)
-        else:
-            for blen, items in plans:
-                yield _load_planned_batch(blen, items, 16000)
-
-    feed_q: queue.Queue = queue.Queue(maxsize=2)
-    result_q: queue.Queue = queue.Queue(maxsize=MAX_INFLIGHT)
-
-    def _uploader() -> None:
-        try:
-            while True:
-                item = feed_q.get()
-                if item is None:
-                    break
-                names, pad, lens = item
-                pad_d, lens_d = jax.device_put(pad), jax.device_put(lens)
-                feats, frame_len = _embed_features(pad_d, lens_d)
-                mel, mel_len = _token_features(pad_d, lens_d)
-                embs_d = emb_apply(feats, frame_len)
-                codes_d, clen_d = tok_apply(mel, mel_len)
-                result_q.put(("ok", (names, embs_d, codes_d, clen_d)))
-        except BaseException as e:  # noqa: BLE001 — surfaced on the main thread
-            result_q.put(("err", e))
-            return
-        result_q.put(None)
-
-    done = False
-
-    def _drain(res) -> None:
-        nonlocal done
-        if res is None:
-            done = True
-            return
-        if res[0] == "err":
-            raise res[1]
-        names, embs_d, codes_d, clen_d = res[1]
+    def _drain_one() -> None:
+        names, embs_d, codes_d, clen_d = inflight.pop(0)
         embs = np.asarray(embs_d)
         codes, code_len = np.asarray(codes_d), np.asarray(clen_d)
         for i, utt in enumerate(names):
-            if utt is None:
-                continue
             _utt_done(utt, embs[i].astype(np.float32), codes[i, : code_len[i]].astype(np.int32))
 
-    def _drain_avail() -> None:
-        while True:
-            try:
-                _drain(result_q.get_nowait())
-            except queue.Empty:
-                return
-
-    th = threading.Thread(target=_uploader, daemon=True)
-    th.start()
-    for nb in _batches():
-        while True:  # never block on a full feed queue without draining —
-            try:     # uploader-blocked-on-results + main-blocked-on-feed deadlocks
-                feed_q.put(nb, timeout=0.05)
-                break
-            except queue.Full:
-                _drain_avail()
-        _drain_avail()
-        _pack_ready()  # shard IO rides between drains, device stays fed
-    feed_q.put(None)
-    while not done:
-        _drain(result_q.get())
-        _pack_ready()
-    th.join()
+    for names, pad, lens in _batched_buckets(utts, 16000, batch_size):
+        pad_d, lens_d = jax.device_put(pad), jax.device_put(lens)
+        if fused_apply is not None:
+            # ONE device call per batch (features + both models fused by
+            # the caller): 6 RPCs/batch -> 3 on the tunneled backend
+            embs_d, codes_d, clen_d = fused_apply(pad_d, lens_d)
+        else:
+            feats, frame_len = _embed_features(pad_d, lens_d)
+            mel, mel_len = _token_features(pad_d, lens_d)
+            embs_d = emb_apply(feats, frame_len)
+            codes_d, clen_d = tok_apply(mel, mel_len)
+        inflight.append((names, embs_d, codes_d, clen_d))
+        if len(inflight) >= MAX_INFLIGHT:
+            _drain_one()
+            _pack_ready()  # shard IO rides between drains, device stays fed
+    while inflight:
+        _drain_one()
     _pack_ready()
 
     _torch_save({k: _to_torch(v) for k, v in maps["utt2embedding"].items()},

@@ -86,6 +86,36 @@ def test_prepare_corpus_matches_sequential(corpus_pair):
         assert (pipe / "pq" / name).read_text().count("\n") == 3
 
 
+def test_prepare_corpus_fused_apply_matches(corpus_pair, tmp_path):
+    """The single-program fused_apply path (features + both models in one
+    device call, bench.py data-prep mode) must produce the same .pt maps as
+    the 4-call path."""
+    torch = pytest.importorskip("torch")
+    seq, pipe = corpus_pair
+    from fangyan_tts_tpu.data.extract import _embed_features, _token_features
+
+    fused_dir = tmp_path / "fused"
+    shutil.copytree(seq, fused_dir, ignore=shutil.ignore_patterns("*.pt", "pq"))
+    scp = (fused_dir / "wav.scp").read_text().replace(
+        str(seq / "wavs"), str(fused_dir / "wavs"))
+    (fused_dir / "wav.scp").write_text(scp)
+
+    def fused(pad_d, lens_d):
+        feats, fl = _embed_features(pad_d, lens_d)
+        mel, ml = _token_features(pad_d, lens_d)
+        return _emb_fn(feats, fl), *_tok_fn(mel, ml)
+
+    prepare_corpus(fused_dir, fused_dir / "pq", _emb_fn, _tok_fn, batch_size=4,
+                   num_utts_per_parquet=4, instruct=True, fused_apply=fused)
+    for fname in ("utt2embedding.pt", "spk2embedding.pt", "utt2speech_token.pt"):
+        a = torch.load(seq / fname, weights_only=False)
+        b = torch.load(fused_dir / fname, weights_only=False)
+        assert set(a) == set(b), fname
+        for k in a:
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]), atol=1e-5,
+                                       err_msg=f"{fname}:{k}")
+
+
 def test_llm_pipeline_reads_pruned(corpus_pair):
     """mode='llm' shard reads drop audio_data via the metadata columns; all
     rows survive the (header-free) duration gate."""

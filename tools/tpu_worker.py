@@ -50,7 +50,10 @@ while True:
         # purge the modules too so a later job rebuilds its caches.
         import gc
 
-        for mod in [m for m in sys.modules if m.startswith("fangyan_tts_tpu")]:
+        for mod in [m for m in sys.modules
+                    if m.startswith("fangyan_tts_tpu")
+                    or getattr(sys.modules[m], "__file__", None) == "/root/repo/bench.py"
+                    or (getattr(sys.modules[m], "__file__", "") or "").startswith("/root/repo/tools/")]:
             del sys.modules[mod]
         gc.collect()
         for arr in list(jax.live_arrays()):
