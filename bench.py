@@ -166,6 +166,8 @@ def bench_data_prep(rng) -> None:
         return emb, codes, clen
 
     fused_apply = lambda pad_d, lens_d: fused_fn(cp, sp, pad_d, lens_d)  # noqa: E731
+    if os.environ.get("FANGYAN_BENCH_NO_FUSED"):
+        fused_apply = None  # A/B triage lever: fall back to the 4-call path
 
     def warm(data_dir):
         extract_all(data_dir, lambda f, fl: emb_fn(cp, f),
