@@ -179,9 +179,11 @@ class VocStream:
         self.emitted = new_total
         return chunk
 
-    def finalize(self, f_pad: jnp.ndarray, n_rem: int) -> np.ndarray:
-        """f_pad: (1, F_CAP, 80) device mel holding the last n_rem (< F_CAP)
-        un-pushed frames (zero-padded). Returns the final audio chunk."""
+    def finalize_dev(self, f_pad: jnp.ndarray, n_rem: int):
+        """Dispatch-only finalize: runs the final vocoder window on device
+        and returns a () -> np.ndarray thunk for the fetch, so the caller
+        can overlap OTHER host fetches (the last hop's chunk) with the
+        finalize compute instead of serializing fetch -> finalize."""
         H = self.H
         if self.k >= 3:
             k_base, carry, off = 2 * H, self.carry, (self.k * H - 2 * H) * 480
@@ -189,16 +191,28 @@ class VocStream:
             k_base, carry, off = self.k * H, jnp.zeros_like(self.carry), 0
         total = self.k * H + n_rem
         if total == 0:
-            return np.zeros(0, np.float32)
+            return lambda: np.zeros(0, np.float32)
         n_valid = k_base + n_rem
         fn = self._finalize_fn(k_base)
         audio = fn(
             self.t.hift_params, self.tail, f_pad.astype(self.t.dtype), jnp.asarray(n_valid, jnp.int32),
             carry, jnp.asarray(off, jnp.int32), self._noise_buf(),
-        )
-        a = np.asarray(audio.astype(jnp.float32))[0]
+        ).astype(jnp.float32)
+        try:
+            audio.copy_to_host_async()
+        except Exception:  # noqa: BLE001 - backend without async D2H: fetch syncs later
+            pass
         start = self.emitted - (total - n_valid)  # window-relative emitted frames
-        return a[start * 480 : n_valid * 480]
+
+        def fetch() -> np.ndarray:
+            return np.asarray(audio)[0][start * 480 : n_valid * 480]
+
+        return fetch
+
+    def finalize(self, f_pad: jnp.ndarray, n_rem: int) -> np.ndarray:
+        """f_pad: (1, F_CAP, 80) device mel holding the last n_rem (< F_CAP)
+        un-pushed frames (zero-padded). Returns the final audio chunk."""
+        return self.finalize_dev(f_pad, n_rem)()
 
 
 # ---------------------------------------------------------------------------
@@ -649,9 +663,15 @@ class Token2WavSession:
             if audio is not None and len(audio):
                 out.append(audio)
 
-    def finish(self) -> np.ndarray:
-        """Final flow + vocoder flush over the remaining tokens."""
+    def finish_dev(self):
+        """Dispatch the final flow + vocoder flush; returns the fetch thunk
+        (VocStream.finalize_dev) so a caller can overlap its own pending
+        D2H fetches with the finalize device work."""
         assert not self.finished
         self.finished = True
         f_pad, n_rem = self.fs.finalize(self.tokens)
-        return self.vs.finalize(f_pad, n_rem)
+        return self.vs.finalize_dev(f_pad, n_rem)
+
+    def finish(self) -> np.ndarray:
+        """Final flow + vocoder flush over the remaining tokens."""
+        return self.finish_dev()()

@@ -815,9 +815,14 @@ class CosyVoice3TTS:
                         stats.setdefault("fetch_ms", []).append((_t() - t0) * 1e3)
                     emitted += 1
             t0 = _t()
+            # finalize device work dispatched BEFORE the last hop's fetch:
+            # the final flow+vocoder windows run while the pending chunk's
+            # ~26 ms D2H fetch is on the wire, instead of serializing
+            # fetch -> finalize (was the single largest solo tail cost)
+            fin = sess.finish_dev()
             if pending is not None:
                 yield {"tts_speech": np.asarray(pending)}
-            yield {"tts_speech": sess.finish()}
+            yield {"tts_speech": fin()}
             if stats is not None:
                 stats.setdefault("finalize_ms", []).append((_t() - t0) * 1e3)
         finally:
